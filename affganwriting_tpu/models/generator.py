@@ -1,0 +1,71 @@
+"""Generator: style encoder + text encoder + mix + AdaIN decoder.
+
+Rebuild of ``GenModel_FC`` (GAN_word/modules_tro.py:208-266).  The public
+surface is functional: ``encode_style`` runs once per style stack (the
+expensive half), ``generate`` consumes a cached pyramid with any number of
+words — which is exactly the batched-inference split the reference performs
+manually in tt.test_single_writer (encode once per writer, loop words).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from affganwriting_tpu.core.config import WordGanConfig
+from affganwriting_tpu.models.decoder import Decoder
+from affganwriting_tpu.models.style_encoders import get_style_encoder
+from affganwriting_tpu.models.text_encoder import TextEncoderFC
+
+
+class Generator(nn.Module):
+    config: WordGanConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.enc_image = get_style_encoder(cfg.style_encoder, dtype=dtype)
+        self.text_encoder = TextEncoderFC(
+            max_len=cfg.output_max_len,
+            vocab_size=cfg.vocab_size,
+            embed_dim=cfg.text_embed_dim,
+            content_dim=cfg.style_dim,
+            adain_dim=cfg.adain_param_dim,
+            dtype=dtype,
+        )
+        self.dec = Decoder(dim=cfg.style_dim, dtype=dtype)
+        # mix: concat(style[-1], content) channels -> Dense back to style_dim
+        # (GAN_word/modules_tro.py:252-259)
+        self.linear_mix = nn.Dense(
+            cfg.style_dim, dtype=dtype, param_dtype=jnp.float32,
+            name="linear_mix",
+        )
+
+    def encode_style(self, style_stack, *, train: bool = False):
+        """(B, 64, 216, 50) -> 5-tap pyramid, last tap (B, 8, 27, 512)."""
+        return self.enc_image(style_stack, train=train)
+
+    def encode_text(self, labels, feat_hw, *, train: bool = False):
+        return self.text_encoder(labels, feat_hw, train=train)
+
+    def mix(self, style_last, content):
+        feat = jnp.concatenate([style_last, content], axis=-1)
+        return self.linear_mix(feat)
+
+    def decode(self, mixed, adain_params, pyramid: Sequence, *,
+               train: bool = False):
+        return self.dec(mixed, adain_params, pyramid, train=train)
+
+    def generate(self, pyramid: Sequence, labels, *, train: bool = False):
+        """Style pyramid + labels (B, T) -> image (B, 64, 216, 1)."""
+        f_xs = pyramid[-1]
+        adain_params, content = self.encode_text(
+            labels, f_xs.shape[1:3], train=train)
+        mixed = self.mix(f_xs, content)
+        return self.decode(mixed, adain_params, pyramid, train=train)
+
+    def __call__(self, style_stack, labels, *, train: bool = False):
+        pyramid = self.encode_style(style_stack, train=train)
+        return self.generate(pyramid, labels, train=train)

@@ -1,0 +1,63 @@
+"""Normalization primitives (NHWC, f32 statistics).
+
+Functional equivalents of the reference's norm utilities
+(GAN_word/blocks.py:166-235).  The reference implements AdaIN by reshaping to
+``(1, b*c, h, w)`` and calling ``F.batch_norm(training=True)`` — i.e. a plain
+per-(sample, channel) instance normalization with externally predicted scale
+(std) and shift (mean).  Here that is a single fused expression XLA folds
+into the surrounding convolution epilogue.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(n, c) normalization over spatial dims. x: (N, H, W, C).
+
+    Uses biased variance, matching ``F.batch_norm``'s normalization
+    (reference AdaIN path, GAN_word/blocks.py:200-204) and
+    ``nn.InstanceNorm2d`` (affine=False) used in Conv2dBlock 'in'.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+
+
+def adain(
+    x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Adaptive instance norm: normalize per (n, c), scale by predicted std,
+    shift by predicted mean.
+
+    x: (N, H, W, C); mean/std: (N, C) predicted from the text code
+    (reference: GAN_word/modules_tro.py:226-242 assigns them as the
+    batch-norm weight/bias).
+    """
+    normed = instance_norm(x, eps)
+    std = std[:, None, None, :].astype(normed.dtype)
+    mean = mean[:, None, None, :].astype(normed.dtype)
+    return normed * std + mean
+
+
+def calc_mean_std(feat: jnp.ndarray, eps: float = 1e-5):
+    """Per-(n, c) mean and std over spatial dims with *unbiased* variance.
+
+    Matches GAN_word/blocks.py:227-235 (torch ``.var`` defaults to
+    unbiased).  feat: (N, H, W, C) -> two (N, 1, 1, C) arrays, f32.
+    """
+    f32 = feat.astype(jnp.float32)
+    n = f32.shape[1] * f32.shape[2]
+    mean = jnp.mean(f32, axis=(1, 2), keepdims=True)
+    var = jnp.var(f32, axis=(1, 2), keepdims=True)
+    if n > 1:
+        var = var * (n / (n - 1))
+    return mean, jnp.sqrt(var + eps)
+
+
+def mean_variance_norm(feat: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """(feat - mean) / std with unbiased std (GAN_word/blocks.py:218-223)."""
+    mean, std = calc_mean_std(feat, eps)
+    return ((feat.astype(jnp.float32) - mean) / std).astype(feat.dtype)

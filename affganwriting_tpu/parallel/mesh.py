@@ -1,0 +1,116 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed layer at all — its single multi-device
+artifact is ``nn.DataParallel`` around VGG tap stages (reference:
+GAN_word/modules_tro.py:341-346), dead in the active ResNet50 path.  Here
+parallelism is a first-class component: a ``Mesh`` over ICI (and DCN for
+multi-slice), batch sharded over the ``data`` axis, and tensor-parallel
+sharding of the widest dense layers over the ``model`` axis.  XLA/GSPMD
+inserts the collectives (psum for gradient sync, all-gather for TP params),
+so the 4-player gradient step compiles to one program whose gradients equal
+the reference's single-GPU gradients in expectation (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices=None,
+    data: int | None = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a 2D ('data', 'model') mesh.
+
+    ``data`` defaults to n_devices // model.  The 'data' axis carries batch
+    (DP, gradient psum over ICI); 'model' carries tensor-parallel shards of
+    the widest dense layers (the text-encoder FC pyramid and AdaIN-param
+    projections).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place every array in a batch pytree with its leading axis over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# --- tensor-parallel rules -------------------------------------------------
+# Map param path regexes -> PartitionSpec.  Only the big dense layers are
+# worth sharding at this model scale; convs are replicated (batch is the
+# parallel axis for them).  Kernel layout for flax Dense is (in, out).
+_TP_RULES: list[tuple[str, P]] = [
+    # TextEncoderFC pyramid: 768->1024->2048->4096 (reference:
+    # GAN_word/modules_tro.py:273-281) — shard the output features.
+    (r"text_encoder/fc\d/kernel$", P(None, MODEL_AXIS)),
+    (r"text_encoder/fc\d/bias$", P(MODEL_AXIS)),
+    # mix: Linear(1024->512) applied at every (8,27) site
+    (r"linear_mix/kernel$", P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for(path: str) -> P:
+    for pat, spec in _TP_RULES:
+        if re.search(pat, path):
+            return spec
+    return P()
+
+
+def _flatten_path(keypath) -> str:
+    parts = []
+    for k in keypath:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for a param tree: TP rules + replicate the rest."""
+
+    def one(keypath, x):
+        spec = _spec_for(_flatten_path(keypath))
+        # degenerate shapes (scalars) can't take a multi-axis spec
+        if len(spec) > x.ndim:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    return jax.tree.map(
+        jax.device_put, params, param_shardings(mesh, params)
+    )

@@ -1,0 +1,102 @@
+"""Training state for the four-player step.
+
+One pytree holding the params / batch stats / optimizer state of all four
+players (G, D, writer classifier C, recognizer R).  The reference spreads
+this across four torch optimizers and implicit module state
+(GAN_word/main_runold.py:244-247); here it is a single value that moves
+through the jit'd step and into orbax checkpoints wholesale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from affganwriting_tpu.core.config import WordGanConfig
+from affganwriting_tpu.models.discriminator import Discriminator
+from affganwriting_tpu.models.generator import Generator
+from affganwriting_tpu.models.recognizer.seq2seq import Recognizer
+from affganwriting_tpu.models.writer_cla import WriterClassifier
+
+
+@flax.struct.dataclass
+class PlayerState:
+    params: Any
+    stats: Any          # batch_stats collection ({} if none)
+    opt_state: Any
+
+
+@flax.struct.dataclass
+class WordGanState:
+    step: jnp.ndarray
+    gen: PlayerState
+    dis: PlayerState
+    cla: PlayerState
+    rec: PlayerState
+
+
+def build_models(config: WordGanConfig):
+    dtype = jnp.dtype(config.compute_dtype)
+    gen = Generator(config)
+    dis = Discriminator(config.img_height, config.img_width,
+                        config.dis_final_size, config.dis_layers, dtype)
+    cla = WriterClassifier(config.num_writers, config.img_height,
+                           config.img_width, config.dis_layers, dtype)
+    rec = Recognizer(config.vocab_size, config.rec_hidden, config.rec_embed,
+                     config.output_max_len, dtype=dtype)
+    return gen, dis, cla, rec
+
+
+def make_optimizers(config: WordGanConfig):
+    # Adam with torch defaults, lrs from main_runold.py:41-44
+    return {
+        "gen": optax.adam(config.lr_gen),
+        "dis": optax.adam(config.lr_dis),
+        "cla": optax.adam(config.lr_cla),
+        "rec": optax.adam(config.lr_rec),
+    }
+
+
+def init_state(config: WordGanConfig, rng: jax.Array) -> WordGanState:
+    gen, dis, cla, rec = build_models(config)
+    opts = make_optimizers(config)
+    b = 2  # init batch size is irrelevant to param shapes
+    style = jnp.zeros((b, config.img_height, config.img_width,
+                       config.style_stack), jnp.float32)
+    img = jnp.zeros((b, config.img_height, config.img_width, 1), jnp.float32)
+    labels = jnp.zeros((b, config.output_max_len), jnp.int32)
+
+    kg, kd, kc, kr = jax.random.split(rng, 4)
+    gen_vars = gen.init(kg, style, labels)
+    dis_vars = dis.init(kd, img)
+    cla_vars = cla.init(kc, img)
+    rec_vars = rec.init(kr, img, labels)
+
+    def player(variables, name):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        return PlayerState(params, stats, opts[name].init(params))
+
+    return WordGanState(
+        step=jnp.zeros((), jnp.int32),
+        gen=player(gen_vars, "gen"),
+        dis=player(dis_vars, "dis"),
+        cla=player(cla_vars, "cla"),
+        rec=player(rec_vars, "rec"),
+    )
+
+
+def param_count(state: WordGanState) -> dict[str, int]:
+    def count(tree):
+        return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+    return {
+        "gen": count(state.gen.params),
+        "dis": count(state.dis.params),
+        "cla": count(state.cla.params),
+        "rec": count(state.rec.params),
+    }

@@ -1,0 +1,33 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not needed to validate sharding: XLA's host platform
+exposes N virtual devices (SURVEY.md §4), so pjit/psum logic is exercised on
+CPU exactly as it would partition on a TPU slice.
+"""
+
+import os
+import sys
+
+# must happen before jax initializes a backend; the environment pins
+# JAX_PLATFORMS=axon (remote TPU tunnel) which would route every eager op
+# over the wire, so force the host platform both ways.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
