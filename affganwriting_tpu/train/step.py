@@ -120,10 +120,12 @@ def make_train_step(config: WordGanConfig):
                 return cla.apply({"params": cla_params}, x, train=True)
 
             def r(x, lab, key):
-                logits, _ = rec.apply(
+                # train-mode forward; stat updates discarded (R's running
+                # averages advance only in its own phase)
+                (logits, _), _ = rec.apply(
                     {"params": rec_params, "batch_stats": rec_stats},
                     x, lab, train=True, rngs={"dropout": key},
-                    mutable=False,
+                    mutable=["batch_stats"],
                 )
                 return logits
 
