@@ -1,0 +1,87 @@
+"""Batched, deterministic inference.
+
+The reference generates test images one word at a time with the model
+re-loaded per writer (GAN_word/tt.test_single_writer.4_scenarios.py:142-181);
+here the style stack is encoded once and an arbitrary batch of words is
+decoded in a single jit call.  Everything is a pure function of
+(params, style stack, labels): same inputs -> same images, which is the
+determinism contract (BASELINE.md).
+
+Inference runs the generator in eval mode (BatchNorm running averages), so
+no RNG is consumed at all on this path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affganwriting_tpu.core.config import VOCAB, WordGanConfig
+from affganwriting_tpu.models.generator import Generator
+from affganwriting_tpu.models.recognizer.seq2seq import Recognizer
+from affganwriting_tpu.train.state import build_models
+
+
+def encode_labels(words: list[str], max_len: int) -> np.ndarray:
+    return np.asarray(
+        [VOCAB.pad_label(w[: max_len - 2], max_len) for w in words], np.int32)
+
+
+def make_generate_fn(config: WordGanConfig):
+    """Returns jit fn (gen_variables, style_stack (S,...), labels (B, T))
+    -> images (B, 64, 216, 1).
+
+    ``style_stack`` holds S writers' stacks; labels are decoded against
+    writer ``i % S`` when B > S (the common case is S == 1: one writer,
+    many words — encode once, decode many)."""
+    gen, _, _, _ = build_models(config)
+
+    @jax.jit
+    def generate(variables: dict[str, Any], style_stack, labels):
+        pyramid = gen.apply(
+            variables, style_stack, train=False, method=gen.encode_style)
+        b = labels.shape[0]
+        s = style_stack.shape[0]
+        if s != b:
+            reps = b // s
+            pyramid = [
+                jnp.repeat(tap, reps, axis=0) for tap in pyramid
+            ]
+        return gen.apply(
+            variables, pyramid, labels, train=False, method=gen.generate)
+
+    return generate
+
+
+def make_generate_and_read_fn(config: WordGanConfig):
+    """Generation + recognition in one program: the tt.* pipeline
+    (generate, OCR with R, keep) as a single XLA call returning images and
+    greedy-decoded label ids."""
+    gen, _, _, rec = build_models(config)
+
+    @jax.jit
+    def run(gen_variables, rec_variables, style_stack, labels):
+        pyramid = gen.apply(
+            gen_variables, style_stack, train=False, method=gen.encode_style)
+        b, s = labels.shape[0], style_stack.shape[0]
+        if s != b:
+            pyramid = [jnp.repeat(t, b // s, axis=0) for t in pyramid]
+        images = gen.apply(
+            gen_variables, pyramid, labels, train=False, method=gen.generate)
+        logits, _ = rec.apply(rec_variables, images, labels, train=False)
+        pred_ids = jnp.argmax(logits, axis=-1)
+        return images, pred_ids
+
+    return run
+
+
+def variables_of(player) -> dict[str, Any]:
+    """PlayerState -> flax variables dict."""
+    v = {"params": player.params}
+    if player.stats:
+        v["batch_stats"] = player.stats
+    return v

@@ -26,7 +26,11 @@ class Generator(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.enc_image = get_style_encoder(cfg.style_encoder, dtype=dtype)
+        # style map geometry scales with the image: (H/8, W/8) = (8, 27)
+        # for the reference's 64x216 words
+        final_hw = (cfg.img_height // 8, cfg.img_width // 8)
+        self.enc_image = get_style_encoder(
+            cfg.style_encoder, dtype=dtype, final_hw=final_hw)
         self.text_encoder = TextEncoderFC(
             max_len=cfg.output_max_len,
             vocab_size=cfg.vocab_size,

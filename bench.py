@@ -1,0 +1,74 @@
+"""Headline benchmark: generated 64x216 word images/sec/chip.
+
+Measures the batched generation pipeline (style stack encoded once per
+writer, words decoded in batch) on the attached accelerator — the TPU-native
+replacement for the reference's one-word-at-a-time Python loop
+(GAN_word/tt.test_single_writer.4_scenarios.py:152-181).  Prints ONE JSON
+line; ``vs_baseline`` is relative to the 5,000 imgs/sec/chip target
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from affganwriting_tpu.core.config import default_config
+    from affganwriting_tpu.gen.inference import encode_labels, make_generate_fn
+    from affganwriting_tpu.train.state import build_models
+
+    cfg = default_config()  # bf16, resnet50 style encoder, 64x216
+    gen, _, _, _ = build_models(cfg)
+
+    rng = np.random.default_rng(0)
+    style = np.asarray(
+        rng.normal(size=(1, cfg.img_height, cfg.img_width, cfg.style_stack)),
+        np.float32,
+    )
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1024
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "word" + alphabet[i % 26] + alphabet[(i // 26) % 26]
+        for i in range(batch)
+    ]
+    labels = encode_labels(words, cfg.output_max_len)
+
+    variables = gen.init(jax.random.key(0), style, labels[:1])
+    fn = make_generate_fn(cfg)
+
+    # warmup / compile
+    out = jax.block_until_ready(fn(variables, style, labels))
+    assert out.shape == (batch, cfg.img_height, cfg.img_width, 1)
+
+    # chain a data dependency through the style input so iterations cannot
+    # overlap or be reordered by the async runtime — honest serialized timing
+    import jax.numpy as jnp
+
+    style_dev = jnp.asarray(style)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, style_dev, labels)
+        style_dev = style_dev + 0.0 * out[:1, :, :, 0:1].mean()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    target = 5000.0
+    print(json.dumps({
+        "metric": "generated 64x216 word images/sec/chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
