@@ -1,0 +1,73 @@
+"""Train the word-level AFFGAN: ``python -m affganwriting_tpu.cli.train_word``.
+
+Mirrors the reference entry point (``python main_runold.py <start_epoch>``,
+GAN_word/run_train_scratch.sh) with a real flag surface instead of module
+constants.  Without ``--image-root`` the pipeline runs on deterministic
+synthetic word images (useful for smoke/perf work; the reference's zero-image
+fallback shows synthetic data flows through the model fine, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--style-encoder", default="resnet50")
+    p.add_argument("--oov", action="store_true", default=True)
+    p.add_argument("--no-oov", dest="oov", action="store_false")
+    p.add_argument("--image-root", default=None,
+                   help="IAM word images dir (<img_id>.png); synthetic if unset")
+    p.add_argument("--logdir", default="runs/word_gan")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=20)
+    p.add_argument("--save-every", type=int, default=100)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--max-writers", type=int, default=None,
+                   help="restrict to N writers (debug)")
+    args = p.parse_args(argv)
+
+    from affganwriting_tpu.core.config import default_config
+    from affganwriting_tpu.data.iam import (
+        default_reference_paths,
+        load_corpus,
+        parse_groundtruth,
+        writer_label_map,
+    )
+    from affganwriting_tpu.data.words import WordStyleDataset
+    from affganwriting_tpu.train.loop import WordGanTrainer
+
+    cfg = default_config().replace(
+        batch_size=args.batch_size,
+        style_encoder=args.style_encoder,
+        oov=args.oov,
+        compute_dtype=args.compute_dtype,
+    )
+    paths = default_reference_paths()
+    tr = parse_groundtruth(paths["train_gt"])
+    te = parse_groundtruth(paths["test_gt"])
+    if args.max_writers:
+        tr = dict(list(tr.items())[: args.max_writers])
+        te = dict(list(te.items())[: args.max_writers])
+    corpus = load_corpus(paths["corpus"])
+
+    train_ds = WordStyleDataset(
+        tr, writer_label_map(tr), cfg, corpus=corpus,
+        image_root=args.image_root, seed=args.seed)
+    test_ds = WordStyleDataset(
+        te, writer_label_map(te), cfg, corpus=corpus,
+        image_root=args.image_root, seed=args.seed + 1)
+
+    trainer = WordGanTrainer(
+        cfg, train_ds, test_ds, logdir=args.logdir, seed=args.seed,
+        eval_every=args.eval_every, save_every=args.save_every,
+        patience=args.patience)
+    trainer.fit(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Word-GAN training loop: epochs, eval cadence, early stopping, checkpoints.
+
+Orchestration mirrors GAN_word/main_runold.py:234-272 — per-batch four-phase
+update (one jit call here), CER accumulators per epoch, eval every
+``eval_every`` epochs with EarlyStopping(patience) on summed validation CER,
+model saves every ``save_every`` epochs — with the TPU additions: device-
+resident batches, metrics JSONL, orbax latest/periodic/best checkpoints and
+a deterministic (seed, epoch)-keyed data stream so resume reproduces the
+exact batch order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from affganwriting_tpu.core.checkpoint import CheckpointManager
+from affganwriting_tpu.core.config import WordGanConfig
+from affganwriting_tpu.data.words import WordStyleDataset
+from affganwriting_tpu.eval.cer import CERAccumulator, cer_counts
+from affganwriting_tpu.train.eval_step import make_eval_step
+from affganwriting_tpu.train.state import init_state
+from affganwriting_tpu.train.step import make_train_step
+from affganwriting_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Stop when the monitored value hasn't improved for ``patience`` evals
+    (GAN_word/main_runold.py:201-231)."""
+
+    patience: int = 20
+    best: float = float("inf")
+    count: int = 0
+    should_stop: bool = False
+
+    def update(self, value: float) -> None:
+        if value < self.best:
+            self.best = value
+            self.count = 0
+        else:
+            self.count += 1
+            if self.count >= self.patience:
+                self.should_stop = True
+
+
+class WordGanTrainer:
+    def __init__(
+        self,
+        config: WordGanConfig,
+        train_data: WordStyleDataset,
+        test_data: Optional[WordStyleDataset] = None,
+        logdir: str = "runs/word_gan",
+        seed: int = 0,
+        eval_every: int = 20,
+        save_every: int = 100,
+        save_latest_every_steps: int = 250,
+        patience: int = 20,
+    ):
+        self.config = config
+        self.train_data = train_data
+        self.test_data = test_data
+        self.logger = MetricsLogger(logdir)
+        self.ckpt = CheckpointManager(f"{logdir}/ckpt")
+        self.eval_every = eval_every
+        self.save_every = save_every
+        self.save_latest_every_steps = save_latest_every_steps
+        self.early = EarlyStopping(patience)
+        self.rng = jax.random.key(seed)
+
+        self.state = init_state(config, jax.random.key(seed))
+        self.train_step = jax.jit(make_train_step(config), donate_argnums=0)
+        self.eval_step = make_eval_step(config)
+        self.start_epoch = 0
+        if self.ckpt.latest_exists():
+            self.state = self.ckpt.restore("latest", self.state)
+            self.start_epoch = int(self.state.step) // max(
+                1, len(train_data) // config.batch_size)
+            print(f"resumed from latest at epoch ~{self.start_epoch}")
+
+    def train_epoch(self, epoch: int) -> dict:
+        cer_tr = CERAccumulator()
+        cer_te = CERAccumulator()
+        cer_te2 = CERAccumulator()
+        sums: dict[str, float] = {}
+        n = 0
+        t0 = time.time()
+        for batch in self.train_data.batches(epoch=epoch):
+            self.rng, step_key = jax.random.split(self.rng)
+            self.state, metrics, extras = self.train_step(
+                self.state, batch, step_key)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            # CER accumulators on host, matching network_tro.py:46, 94-95
+            cer_tr.add_logits(extras["rec_logits_tr"], batch["label_ch0"])
+            cer_te.add_logits(extras["logits_xt"], batch["label_xt"])
+            cer_te2.add_logits(extras["logits_swap"], batch["label_xt_swap"])
+            if int(self.state.step) % self.save_latest_every_steps == 0:
+                self.ckpt.save_latest(self.state, self.config)
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["cer_tr"] = cer_tr.value()
+        out["cer_te"] = cer_te.value()
+        out["cer_te2"] = cer_te2.value()
+        out["epoch_seconds"] = time.time() - t0
+        out["steps_per_sec"] = n / max(out["epoch_seconds"], 1e-9)
+        self.logger.log(epoch, out, group="train")
+        return out
+
+    def evaluate(self, epoch: int) -> float:
+        """Returns summed validation CER (the early-stop monitor,
+        main_runold.py:261-268)."""
+        assert self.test_data is not None
+        cer_te = CERAccumulator()
+        cer_te2 = CERAccumulator()
+        sums: dict[str, float] = {}
+        n = 0
+        for batch in self.test_data.batches(epoch=epoch, shuffle=False):
+            metrics, preds, _ = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            ed, ln = cer_counts(preds["pred_xt"], batch["label_xt"])
+            cer_te.ed += int(ed)
+            cer_te.length += int(ln)
+            ed, ln = cer_counts(preds["pred_swap"], batch["label_xt_swap"])
+            cer_te2.ed += int(ed)
+            cer_te2.length += int(ln)
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["cer_te"] = cer_te.value()
+        out["cer_te2"] = cer_te2.value()
+        self.logger.log(epoch, out, group="eval")
+        return out["cer_te"] + out["cer_te2"]
+
+    def fit(self, epochs: int) -> None:
+        for epoch in range(self.start_epoch, epochs):
+            self.train_epoch(epoch)
+            if self.test_data is not None and epoch % self.eval_every == 0:
+                monitor = self.evaluate(epoch)
+                self.ckpt.maybe_save_best(self.state, self.config, monitor)
+                self.early.update(monitor)
+                if self.early.should_stop:
+                    print(f"early stop at epoch {epoch} "
+                          f"(best {self.early.best:.3f})")
+                    break
+            if epoch % self.save_every == 0 and epoch > 0:
+                self.ckpt.save_step(self.state, self.config, epoch)
+        self.ckpt.save_latest(self.state, self.config)
