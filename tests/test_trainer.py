@@ -85,8 +85,8 @@ def test_generated_folder_cer(tmp_path):
         (tmp_path / n).write_bytes(b"")
     assert parse_generated_name("049-0.three-three.png") == ("three", "three")
     out = cer_of_folder(str(tmp_path))
-    # edits: 0 + 2 (threw->shrew) + 1 (abc->abd); ref len 5 + 5 + 3 = 13
+    # edits: 0 + 1 (threw->shrew) + 1 (abc->abd); ref len 5 + 5 + 3 = 13
     assert out["count"] == 3
     assert out["ref_len"] == 13
-    assert out["edits"] == 3
-    assert out["cer"] == pytest.approx(100 * 3 / 13)
+    assert out["edits"] == 2
+    assert out["cer"] == pytest.approx(100 * 2 / 13)
