@@ -1,0 +1,181 @@
+"""Batched FID with the reference's crop-64 protocol.
+
+Rebuild of GAN_word/fid_folder/fid_score_crop64x64.py: images are cropped to
+their first 64 columns, resized to 64x64, scaled to [0, 1], pushed through
+InceptionV3 pool3 (2048-d), then FID = Fréchet distance between the Gaussian
+fits of the two activation sets (:215-269).  The per-image Python loop of
+the reference becomes one jit'd batched activation pass; only the final
+matrix sqrtm runs on host (scipy), as in the reference.
+
+The per-writer "WID" variant (fid_score_crop64x64_wid.py) groups activation
+stats by writer id and averages the per-writer distances.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affganwriting_tpu.eval.inception_v3 import InceptionV3Pool3
+
+
+def crop64_preprocess(images: np.ndarray) -> np.ndarray:
+    """(B, H, W[, C]) any-range -> (B, 64, 64, 3) float32 in [0, 1].
+
+    Crop ``img[:, :64]`` then resize to 64x64 (fid_score_crop64x64.py:104-107).
+    """
+    if images.ndim == 3:
+        images = images[..., None]
+    if images.shape[-1] == 1:
+        images = np.repeat(images, 3, axis=-1)
+    images = images.astype(np.float32)
+    if images.max() > 1.5:
+        images = images / 255.0
+    images = images[:, :, :64, :]
+    out = jax.image.resize(
+        jnp.asarray(images),
+        (images.shape[0], 64, 64, 3), method="linear")
+    return np.asarray(jnp.clip(out, 0.0, 1.0))
+
+
+class FIDScorer:
+    def __init__(self, weights: Optional[dict] = None, seed: int = 0,
+                 batch_size: int = 64):
+        self.model = InceptionV3Pool3()
+        if weights is not None:
+            self.variables = weights
+        else:
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            self.variables = self.model.init(jax.random.key(seed), dummy)
+        self.batch_size = batch_size
+        self._apply = jax.jit(
+            lambda v, x: self.model.apply(v, x))
+
+    def activations(self, images: np.ndarray) -> np.ndarray:
+        """(B, 64, 64, 3) in [0,1] -> (B, 2048)."""
+        outs = []
+        bs = self.batch_size
+        for i in range(0, len(images), bs):
+            chunk = images[i: i + bs]
+            if len(chunk) < bs:  # pad to keep one compiled shape
+                pad = np.zeros((bs - len(chunk), *chunk.shape[1:]),
+                               chunk.dtype)
+                padded = np.concatenate([chunk, pad])
+                outs.append(np.asarray(
+                    self._apply(self.variables, padded))[: len(chunk)])
+            else:
+                outs.append(np.asarray(self._apply(self.variables, chunk)))
+        return np.concatenate(outs) if outs else np.zeros((0, 2048))
+
+    def fid(self, images_a: np.ndarray, images_b: np.ndarray) -> float:
+        act_a = self.activations(crop64_preprocess(images_a))
+        act_b = self.activations(crop64_preprocess(images_b))
+        return frechet_distance(*gaussian_stats(act_a),
+                                *gaussian_stats(act_b))
+
+    def fid_per_writer(
+        self, images_a: np.ndarray, writers_a: np.ndarray,
+        images_b: np.ndarray, writers_b: np.ndarray,
+    ) -> dict:
+        """The WID metric: mean FID over writers present in both sets."""
+        act_a = self.activations(crop64_preprocess(images_a))
+        act_b = self.activations(crop64_preprocess(images_b))
+        common = sorted(set(writers_a.tolist()) & set(writers_b.tolist()))
+        per = {}
+        for w in common:
+            a = act_a[writers_a == w]
+            b = act_b[writers_b == w]
+            if len(a) < 2 or len(b) < 2:
+                continue
+            per[w] = frechet_distance(*gaussian_stats(a), *gaussian_stats(b))
+        mean = float(np.mean(list(per.values()))) if per else float("nan")
+        return {"wid_fid": mean, "per_writer": per}
+
+
+def gaussian_stats(act: np.ndarray):
+    mu = act.mean(axis=0)
+    sigma = np.cov(act, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) with the reference's
+    sqrtm stabilization (fid_score_crop64x64.py:215-269)."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm(
+            (sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+# --- folder interface (CLI-compatible with the reference driver) -----------
+
+_WID_RE = re.compile(r"^(?P<wid>[^-]+)-")
+
+
+def load_folder_images(folder: str, limit: Optional[int] = None):
+    """Read grayscale/RGB images of a folder -> (images, writer_ids)."""
+    from PIL import Image
+
+    names = sorted(
+        n for n in os.listdir(folder)
+        if os.path.splitext(n)[1].lower() in (".png", ".jpg", ".jpeg"))
+    if limit:
+        names = names[:limit]
+    imgs, wids = [], []
+    for n in names:
+        try:
+            with Image.open(os.path.join(folder, n)) as im:
+                arr = np.asarray(im.convert("RGB"), np.float32)
+        except Exception:
+            continue
+        imgs.append(arr)
+        m = _WID_RE.match(n)
+        wids.append(m.group("wid") if m else "?")
+    if not imgs:
+        return np.zeros((0, 64, 64, 3)), np.asarray([])
+    h = min(a.shape[0] for a in imgs)
+    w = min(a.shape[1] for a in imgs)
+    imgs = np.stack([a[:h, :w] for a in imgs])
+    return imgs, np.asarray(wids)
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("generated")
+    p.add_argument("real")
+    p.add_argument("--per-writer", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+    scorer = FIDScorer()
+    ga, gw = load_folder_images(args.generated, args.limit)
+    ra, rw = load_folder_images(args.real, args.limit)
+    if args.per_writer:
+        out = scorer.fid_per_writer(ga, gw, ra, rw)
+        print(json.dumps({"wid_fid": out["wid_fid"]}))
+    else:
+        print(json.dumps({"fid": scorer.fid(ga, ra)}))
+
+
+if __name__ == "__main__":
+    main()
