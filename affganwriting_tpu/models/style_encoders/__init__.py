@@ -38,3 +38,6 @@ def available() -> list[str]:
 # populate the registry
 from affganwriting_tpu.models.style_encoders import resnet  # noqa: E402,F401
 from affganwriting_tpu.models.style_encoders import cnn  # noqa: E402,F401
+from affganwriting_tpu.models.style_encoders import vgg  # noqa: E402,F401
+from affganwriting_tpu.models.style_encoders import vit  # noqa: E402,F401
+from affganwriting_tpu.models.style_encoders import inception  # noqa: E402,F401
