@@ -47,6 +47,26 @@ def label_smoothing_kl(
     return jnp.sum(plogp - true_dist * log_probs)
 
 
+def label_smoothing_kl_per_row(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    smoothing: float = 0.4,
+    pad_id: int = VOCAB.pad,
+) -> jnp.ndarray:
+    """Per-row (unreduced) variant of ``label_smoothing_kl`` -> (N,)."""
+    logits = logits.astype(jnp.float32)
+    n, v = logits.shape
+    confidence = 1.0 - smoothing
+    fill = smoothing / (v - 2)
+    true_dist = jnp.full((n, v), fill, dtype=jnp.float32)
+    true_dist = true_dist.at[jnp.arange(n), targets].set(confidence)
+    true_dist = true_dist.at[:, pad_id].set(0.0)
+    true_dist = jnp.where((targets == pad_id)[:, None], 0.0, true_dist)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    plogp = jnp.where(true_dist > 0, true_dist * jnp.log(true_dist), 0.0)
+    return jnp.sum(plogp - true_dist * log_probs, axis=-1)
+
+
 def rec_loss(logits_bt_v: jnp.ndarray, labels_with_go: jnp.ndarray,
              smoothing: float = 0.4) -> jnp.ndarray:
     """Recognition loss on per-step logits vs labels minus <GO>.
