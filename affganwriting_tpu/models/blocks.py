@@ -18,6 +18,31 @@ from affganwriting_tpu.ops.norms import instance_norm
 _PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
 
 
+def get_group_size(channels: int) -> int:
+    """Largest 'nice' group size — 8 (or 4 below 32 channels) when it
+    divides, else the closest prime factor (line_generation/utils/util.py
+    getGroupSize semantics)."""
+    goal = 8 if channels >= 32 else 4
+    if channels % goal == 0:
+        return goal
+    best, best_dist = 1, 10 ** 9
+    n = channels
+    f = 2
+    factors = []
+    while f * f <= n:
+        while n % f == 0:
+            factors.append(f)
+            n //= f
+        f += 1
+    if n > 1:
+        factors.append(n)
+    for f in factors:
+        if abs(f - goal) <= best_dist:
+            best_dist = abs(f - goal)
+            best = f
+    return best
+
+
 def pad2d(x: jnp.ndarray, padding: int, pad_type: str) -> jnp.ndarray:
     if padding == 0:
         return x
@@ -89,6 +114,13 @@ class Conv2dBlock(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=jnp.float32,
+                )(h).astype(h.dtype)
+            if self.norm == "group":
+                # torch passes getGroupSize as num_groups
+                # (line_generation/model/count_cnn.py:13)
+                c = h.shape[-1]
+                return nn.GroupNorm(
+                    num_groups=get_group_size(c), dtype=jnp.float32,
                 )(h).astype(h.dtype)
             return h
 

@@ -1,0 +1,132 @@
+"""Line-generation model zoo: shapes, spacing semantics, DTW alignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from affganwriting_tpu.models.line.autoencoder import Autoencoder
+from affganwriting_tpu.models.line.char_style import CharStyleEncoder
+from affganwriting_tpu.models.line.container import HWWithStyle, insert_spaces
+from affganwriting_tpu.models.line.count_cnn import CountCNN
+from affganwriting_tpu.models.line.discriminator import DiscriminatorAP
+from affganwriting_tpu.models.line.hwr import CNNOnlyHWR, CRNN
+from affganwriting_tpu.models.line.spaced_gen import SpacedGenerator
+from affganwriting_tpu.ops.dtw import correct_pred, interleave_blanks
+
+B, H, W, K = 2, 64, 128, 80
+RNG = np.random.default_rng(0)
+IMG = jnp.asarray(RNG.normal(size=(B, H, W, 1)), jnp.float32)
+
+
+def test_crnn_and_cnnonly_log_probs():
+    for cls in (CRNN, CNNOnlyHWR):
+        m = cls(nclass=K, dtype=jnp.float32)
+        v = m.init(jax.random.key(0), IMG)
+        out = m.apply(v, IMG)
+        assert out.ndim == 3 and out.shape[0] == B and out.shape[2] == K
+        sums = np.asarray(jnp.sum(jnp.exp(out), axis=-1))
+        np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+
+
+def test_spaced_generator_shape_and_determinism():
+    L = 24
+    gen = SpacedGenerator(n_class=K, style_size=128)
+    spaced = jax.nn.one_hot(
+        jnp.asarray(RNG.integers(0, K, size=(B, L))), K)
+    style = jnp.asarray(RNG.normal(size=(B, 128)), jnp.float32)
+    v = gen.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
+                 spaced, style)
+    img1 = gen.apply(v, spaced, style, rngs={"noise": jax.random.key(7)})
+    img2 = gen.apply(v, spaced, style, rngs={"noise": jax.random.key(7)})
+    img3 = gen.apply(v, spaced, style, rngs={"noise": jax.random.key(8)})
+    assert img1.shape == (B, 64, 4 * L, 1)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert not np.array_equal(np.asarray(img1), np.asarray(img3))
+    assert float(jnp.max(jnp.abs(img1))) <= 1.0
+
+
+def test_count_cnn():
+    m = CountCNN(K, 128)
+    onehot = jax.nn.one_hot(jnp.asarray(RNG.integers(0, K, (B, 10))), K)
+    style = jnp.asarray(RNG.normal(size=(B, 128)), jnp.float32)
+    v = m.init(jax.random.key(0), onehot, style)
+    out = m.apply(v, onehot, style)
+    assert out.shape == (B, 10, 2)
+
+
+def test_char_style_encoder():
+    hwr = CNNOnlyHWR(nclass=K, dtype=jnp.float32)
+    hv = hwr.init(jax.random.key(0), IMG)
+    recog = hwr.apply(hv, IMG)
+    enc = CharStyleEncoder(n_class=K, style_dim=128)
+    v = enc.init(jax.random.key(1), IMG, recog)
+    style = enc.apply(v, IMG, recog)
+    assert style.shape == (B, 128)
+    assert np.isfinite(np.asarray(style)).all()
+
+
+def test_discriminator_ap_heads():
+    d = DiscriminatorAP(dim=64, use_low=True, use_med=True)
+    v = d.init(jax.random.key(0), IMG)
+    heads = d.apply(v, IMG)
+    assert len(heads) == 2
+    for h in heads:
+        assert h.shape[0] == B and h.ndim == 2
+
+
+def test_autoencoder():
+    ae = Autoencoder()
+    v = ae.init(jax.random.key(0), IMG)
+    recon = ae.apply(v, IMG)
+    assert recon.shape == IMG.shape
+    feats = ae.apply(v, IMG, method=ae.encode)
+    assert len(feats) == 5
+    assert feats[-1].shape[-1] == 32  # 2tight bottleneck
+
+
+def test_insert_spaces_semantics():
+    label = jnp.asarray([[5, 9, 3]], jnp.int32)
+    lengths = jnp.asarray([3], jnp.int32)
+    # deterministic counts (std ~ 0): 2 blanks then 1 duplicate per char
+    counts = jnp.tile(jnp.asarray([[2.0, 1.0]]), (1, 3, 1)).reshape(1, 3, 2)
+    spaced, padded = insert_spaces(
+        label, lengths, counts, jax.random.key(0), K, max_len=16)
+    ids = np.asarray(jnp.argmax(spaced, axis=-1))[0]
+    assert ids.tolist() == [0, 0, 5, 0, 0, 9, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0]
+    assert 0.0 <= float(padded[0]) <= 1.0
+
+
+def test_hw_with_style_end_to_end():
+    m = HWWithStyle(n_class=K, max_gen_length=32, dtype=jnp.float32)
+    label = jnp.asarray(RNG.integers(1, K, (B, 6)), jnp.int32)
+    lengths = jnp.full((B,), 6, jnp.int32)
+    style0 = jnp.zeros((B, 128), jnp.float32)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "spacing": jax.random.key(2)}
+    v = m.init(rngs, IMG, label, lengths, method=m.init_all)
+    style, pred = m.apply(v, IMG, method=m.extract_style)
+    assert style.shape == (B, 128)
+    img, spaced, counts = m.apply(
+        v, label, lengths, style,
+        rngs={"noise": jax.random.key(3), "spacing": jax.random.key(4)})
+    assert img.shape == (B, 64, 4 * 32, 1)
+    assert spaced.shape == (B, 32, K)
+    assert counts.shape == (B, 6, 2)
+
+
+def test_correct_pred_alignment():
+    t_pred, batch = 12, 1
+    label = np.asarray([[3], [7], [5]])          # (T_label, B)
+    # build a prediction that clearly walks 3 -> 7 -> 5 with blanks between
+    pred = np.full((t_pred, batch, K), 0.01, np.float32)
+    seq = [0, 0, 3, 3, 0, 7, 7, 0, 0, 5, 0, 0]
+    for t, c in enumerate(seq):
+        pred[t, 0, c] = 0.95
+    spaced = correct_pred(pred, label)
+    assert spaced.shape == (t_pred, batch)
+    # the non-blank chars must appear in label order
+    chars = [c for c in spaced[:, 0].tolist() if c != 0]
+    dedup = [c for i, c in enumerate(chars) if i == 0 or chars[i - 1] != c]
+    assert dedup == [3, 7, 5]
+    assert interleave_blanks(label).shape == (7, 1)
