@@ -100,13 +100,15 @@ class Recognizer(nn.Module):
 
         enc_out, hidden0 = self.enc(img, train=train)
 
-        if teacher_rate > 0.0:
+        # teacher_rate may be a traced scalar; the rng presence decides the
+        # (static) branch
+        if rng is None and not self.has_rng("teacher"):
+            use_teacher = jnp.zeros((steps, b), dtype=bool)
+        else:
             if rng is None:
                 rng = self.make_rng("teacher")
             use_teacher = (
                 jax.random.uniform(rng, (steps, b)) < teacher_rate)
-        else:
-            use_teacher = jnp.zeros((steps, b), dtype=bool)
         teacher_ids = jnp.swapaxes(labels[:, 1:], 0, 1)       # (steps, B)
 
         def step(cell, carry, xs):

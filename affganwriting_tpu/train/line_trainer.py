@@ -127,15 +127,16 @@ class LineGanTrainer:
         label = jnp.asarray(sample_batch["label"])
         lengths = jnp.asarray(sample_batch["label_lengths"])
         k1, k2, k3 = jax.random.split(key, 3)
-        variables = self.model.init(
-            {"params": k1, "noise": k2, "spacing": k3},
-            img, label, lengths, method=self.model.init_all)
+        variables = jax.jit(
+            lambda r, i, la, le: self.model.init(
+                r, i, la, le, method=self.model.init_all)
+        )({"params": k1, "noise": k2, "spacing": k3}, img, label, lengths)
         params = variables["params"]
         model_stats = variables.get("batch_stats", {})
         main = {k: v for k, v in params.items() if k != "hwr"}
         hwr = params["hwr"]
-        disc_vars = self.disc.init(k1, img)
-        ae_vars = self.ae.init(k1, img)
+        disc_vars = jax.jit(self.disc.init)(k1, img)
+        ae_vars = jax.jit(self.ae.init)(k1, img)
         return LineState(
             step=jnp.zeros((), jnp.int32),
             main_params=main,
@@ -157,9 +158,11 @@ class LineGanTrainer:
 
     def recognize(self, state: LineState, image) -> np.ndarray:
         """Frozen-HWR log-probs, host-side, for DTW alignment."""
-        logp = self.model.apply(
-            self._variables(state), jnp.asarray(image),
-            method=self.model.recognize)
+        if not hasattr(self, "_recognize_jit"):
+            self._recognize_jit = jax.jit(
+                lambda v, i: self.model.apply(
+                    v, i, method=self.model.recognize))
+        logp = self._recognize_jit(self._variables(state), jnp.asarray(image))
         return np.asarray(logp)
 
     def spaced_label(self, state: LineState, batch: dict) -> np.ndarray:

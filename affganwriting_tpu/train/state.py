@@ -71,10 +71,12 @@ def init_state(config: WordGanConfig, rng: jax.Array) -> WordGanState:
     labels = jnp.zeros((b, config.output_max_len), jnp.int32)
 
     kg, kd, kc, kr = jax.random.split(rng, 4)
-    gen_vars = gen.init(kg, style, labels)
-    dis_vars = dis.init(kd, img)
-    cla_vars = cla.init(kc, img)
-    rec_vars = rec.init(kr, img, labels)
+    # jit the inits: on a remote-TPU backend eager per-op dispatch makes
+    # unjitted init pathologically slow
+    gen_vars = jax.jit(gen.init)(kg, style, labels)
+    dis_vars = jax.jit(dis.init)(kd, img)
+    cla_vars = jax.jit(cla.init)(kc, img)
+    rec_vars = jax.jit(rec.init)(kr, img, labels)
 
     def player(variables, name):
         params = variables["params"]

@@ -40,7 +40,7 @@ def main():
     ]
     labels = encode_labels(words, cfg.output_max_len)
 
-    variables = gen.init(jax.random.key(0), style, labels[:1])
+    variables = jax.jit(gen.init)(jax.random.key(0), style, labels[:1])
     fn = make_generate_fn(cfg)
 
     # warmup / compile
