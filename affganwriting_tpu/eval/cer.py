@@ -85,6 +85,27 @@ def cer_counts(pred_ids: jnp.ndarray, gt_ids: jnp.ndarray):
     return jnp.sum(dists), jnp.sum(g_len)
 
 
+def wer(pred_texts: list[str], gt_texts: list[str]) -> float:
+    """Word error rate over text pairs (line_generation/utils/
+    error_rates.py:1-27): word-level Levenshtein / reference word count."""
+    ed_sum, n_sum = 0, 0
+    for p, g in zip(pred_texts, gt_texts):
+        pw, gw = p.split(), g.split()
+        vocab = {w: i for i, w in enumerate(dict.fromkeys(pw + gw))}
+        dp = list(range(len(gw) + 1))
+        for i, wp in enumerate(pw, 1):
+            prev = dp[0]
+            dp[0] = i
+            for j, wg in enumerate(gw, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (vocab[wp] != vocab[wg]))
+                prev = cur
+        ed_sum += dp[len(gw)]
+        n_sum += len(gw)
+    return ed_sum / max(n_sum, 1)
+
+
 class CERAccumulator:
     """Streaming CER across batches (GAN_word/loss_tro.py:43-72 semantics)."""
 
