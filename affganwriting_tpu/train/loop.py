@@ -113,14 +113,17 @@ class WordGanTrainer:
 
     def evaluate(self, epoch: int) -> float:
         """Returns summed validation CER (the early-stop monitor,
-        main_runold.py:261-268)."""
+        main_runold.py:261-268).  The first batch also dumps a debug image
+        sheet (the reference's write_image, modules_tro.py:47-105)."""
         assert self.test_data is not None
         cer_te = CERAccumulator()
         cer_te2 = CERAccumulator()
         sums: dict[str, float] = {}
         n = 0
         for batch in self.test_data.batches(epoch=epoch, shuffle=False):
-            metrics, preds, _ = self.eval_step(self.state, batch)
+            metrics, preds, images = self.eval_step(self.state, batch)
+            if n == 0:
+                self._dump_sheet(epoch, batch, preds, images)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -135,6 +138,29 @@ class WordGanTrainer:
         out["cer_te2"] = cer_te2.value()
         self.logger.log(epoch, out, group="eval")
         return out["cer_te"] + out["cer_te2"]
+
+    def _dump_sheet(self, epoch, batch, preds, images) -> None:
+        import numpy as np
+
+        from affganwriting_tpu.core.config import VOCAB
+        from affganwriting_tpu.eval.sheets import write_sheet
+
+        decode = lambda rows: [VOCAB.decode(r) for r in np.asarray(rows)]  # noqa: E731
+        try:
+            write_sheet(
+                f"{self.logger.path.rsplit('/', 1)[0]}/sheets",
+                f"eval_{epoch}",
+                np.asarray(images["xg"]),
+                decode(preds["pred_xt"]),
+                np.asarray(batch["img_xt"]),
+                decode(batch["label_xt"]),
+                np.asarray(batch["style_imgs"]),
+                np.asarray(images["xg_swap"]),
+                decode(preds["pred_swap"]),
+                decode(batch["label_xt_swap"]),
+            )
+        except Exception as e:  # sheet dumping must never kill training
+            print(f"sheet dump failed: {e}")
 
     def fit(self, epochs: int) -> None:
         for epoch in range(self.start_epoch, epochs):
