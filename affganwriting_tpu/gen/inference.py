@@ -13,7 +13,6 @@ no RNG is consumed at all on this path.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -21,8 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from affganwriting_tpu.core.config import VOCAB, WordGanConfig
-from affganwriting_tpu.models.generator import Generator
-from affganwriting_tpu.models.recognizer.seq2seq import Recognizer
 from affganwriting_tpu.train.state import build_models
 
 

@@ -10,7 +10,6 @@ batched jit calls.
 
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Iterable, Optional
 

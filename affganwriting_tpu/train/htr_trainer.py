@@ -13,7 +13,6 @@ from typing import Iterator
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from affganwriting_tpu.core.config import WordGanConfig
