@@ -34,11 +34,15 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: Any, config: WordGanConfig) -> None:
+        import shutil
+
         path = self._path(name)
+        # a killed process can leave an orbax tmp dir behind; clear it
+        tmp = f"{path}.orbax-checkpoint-tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         if os.path.exists(path):
             # orbax refuses to overwrite; replace atomically-ish
-            import shutil
-
             shutil.rmtree(path)
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
