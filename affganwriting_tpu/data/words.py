@@ -58,7 +58,16 @@ def preprocess_word_image(img: np.ndarray, height: int = 64,
     Resize to height 64 preserving aspect (ceil width like the reference's
     ``int(w*rate)+1``), invert, crop-or-zero-pad the width to 216, then
     (x - 0.5) / 0.5 (GAN_word/load_data.py:141-167).
+
+    Dispatches to the native C++ batch kernel (native/preprocess.cpp, built
+    via ``python -m affganwriting_tpu.utils.native build``) when present;
+    the numpy path below is the reference implementation and fallback.
     """
+    from affganwriting_tpu.utils import native
+
+    if native.available() and np.asarray(img).dtype == np.uint8:
+        return native.preprocess_words_native(
+            np.asarray(img)[None], height, width)[0]
     img = np.asarray(img, dtype=np.float32)
     if img.max() > 1.5:
         img = img / 255.0
