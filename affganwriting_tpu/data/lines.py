@@ -110,6 +110,45 @@ def synthetic_line_image(text: str, author_seed: int, height: int = 64,
     return img
 
 
+def bucket_width(width: int, bucket: int = 128, max_width: int = 2048) -> int:
+    """Round a natural line width up to its bucket (SURVEY.md §5.7): a few
+    static shapes instead of per-width recompilation; the reference instead
+    pads every batch to its own max width (author_hw_dataset.py collate),
+    which would retrace XLA per batch."""
+    b = ((max(width, 1) + bucket - 1) // bucket) * bucket
+    return min(b, max_width)
+
+
+def bucketize(items: list[dict], bucket: int = 128, batch_size: int = 4,
+              max_width: int = 2048):
+    """Group {image (H, W, 1), ...} items by bucketed width; yield padded
+    batches per bucket.  Images are right-padded with the background value
+    (-1); a 'width' array records the true widths for masking."""
+    groups: dict[int, list[dict]] = {}
+    for it in items:
+        w = it["image"].shape[1]
+        groups.setdefault(bucket_width(w, bucket, max_width), []).append(it)
+    for bw in sorted(groups):
+        batch = groups[bw]
+        for start in range(0, len(batch), batch_size):
+            chunk = batch[start: start + batch_size]
+            h = chunk[0]["image"].shape[0]
+            imgs = np.full((len(chunk), h, bw, 1), -1.0, np.float32)
+            widths = np.zeros((len(chunk),), np.int32)
+            for i, it in enumerate(chunk):
+                w = min(it["image"].shape[1], bw)
+                imgs[i, :, :w] = it["image"][:, :w]
+                widths[i] = w
+            out = {"image": imgs, "width": widths}
+            for key in chunk[0]:
+                if key != "image":
+                    vals = [it[key] for it in chunk]
+                    out[key] = (np.stack(vals)
+                                if isinstance(vals[0], np.ndarray)
+                                else vals)
+            yield out
+
+
 class LineDataset:
     """Author-grouped line batches (author_hw_dataset.py:54-141 semantics):
     each item is ``a_batch_size`` same-author lines so the style extractor
