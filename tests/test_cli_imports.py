@@ -23,7 +23,7 @@ CLIS = [
 @pytest.mark.parametrize("mod", CLIS)
 def test_cli_importable(mod):
     m = importlib.import_module(mod)
-    assert hasattr(m, "main") or hasattr(m, "selftest"), mod
+    assert any(hasattr(m, fn) for fn in ("main", "selftest", "plot")), mod
 
 
 def test_cli_help_exits_cleanly():
