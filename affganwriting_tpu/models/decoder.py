@@ -35,10 +35,16 @@ class UpsampleConv(nn.Module):
     are bit-identical, only the 2-pixel reflect border is approximated by
     low-res reflect padding.  Both paths share the same (5,5,Cin,Cout)
     parameter, so checkpoints are interchangeable.
+
+    ``emit_phase=True`` skips the depth-to-space and returns the phase
+    layout (B, H, W, 4*features) with channels packed (p, q, c) — consumers
+    that are phase-aware (``instance_norm_phase``, ``PhaseHead``) avoid the
+    strided transpose entirely.
     """
 
     features: int
     subpixel: bool = True
+    emit_phase: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -80,11 +86,14 @@ class UpsampleConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             xp, w4.astype(self.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias4 = jnp.tile(b, (4,)).astype(self.dtype)
+        if self.emit_phase:
+            return y + bias4
         n, h, ww, _ = y.shape
         co = self.features
-        y = y.reshape(n, h, ww, 2, 2, co)
+        y = (y + bias4).reshape(n, h, ww, 2, 2, co)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * 2, ww * 2, co)
-        return y + b.astype(self.dtype)
+        return y
 
 
 def split_adain_params(adain_params: jnp.ndarray, num_sites: int, dim: int):
@@ -99,6 +108,98 @@ def split_adain_params(adain_params: jnp.ndarray, num_sites: int, dim: int):
         chunk = adain_params[:, i * 2 * dim:(i + 1) * 2 * dim]
         out.append((chunk[:, :dim], chunk[:, dim:]))
     return out
+
+
+def instance_norm_phase(x4: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm of the *logical* image computed in phase layout.
+
+    x4: (B, H, W, 4C) with channels packed (p, q, c).  Per-(sample, c)
+    statistics pool over (H, W, p, q) — identical to instance-norming the
+    depth-to-space'd tensor, without materializing it."""
+    b, h, w, c4 = x4.shape
+    c = c4 // 4
+    g = x4.reshape(b, h * w, 4, c)
+    mean = jnp.mean(g, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(g.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True) - jnp.square(mean)
+    scale = jax.lax.rsqrt(var + eps)
+    out = (g - mean.astype(g.dtype)) * scale.astype(g.dtype)
+    return out.reshape(b, h, w, c4)
+
+
+class PhaseHead(nn.Module):
+    """7x7 conv + tanh head consuming phase layout.
+
+    Folds the (7,7,C,out) kernel into a (5,5,4C,4*out) phase-space kernel:
+    for output phase P (rows), hi-res tap a maps to low-res offset
+    floor((P+a)/2) in [-2, 2] and input phase (P+a) mod 2.  The final
+    depth-to-space then runs on a 4*out-channel tensor (out=1: trivially
+    cheap) instead of the 4C-channel one — eliminating the expensive
+    strided transpose at full resolution.  Shares the (7,7,C,out) parameter
+    layout with the exact head, reflect border approximated at low res.
+    """
+
+    out_dim: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x4):
+        b, h, w, c4 = x4.shape
+        c = c4 // 4
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, c, self.out_dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_dim,), jnp.float32)
+
+        # fold: K4[dy+2, dx+2, (p, q, c), (P, Q, o)]
+        k4 = jnp.zeros((5, 5, 4 * c, 4 * self.out_dim), jnp.float32)
+        for P in (0, 1):
+            for a in range(-3, 4):
+                dy = (P + a) // 2
+                p = (P + a) % 2
+                for Q in (0, 1):
+                    for bb in range(-3, 4):
+                        dx = (Q + bb) // 2
+                        q = (Q + bb) % 2
+                        in_slot = (p * 2 + q) * c
+                        out_slot = (P * 2 + Q) * self.out_dim
+                        k4 = k4.at[
+                            dy + 2, dx + 2,
+                            in_slot: in_slot + c,
+                            out_slot: out_slot + self.out_dim,
+                        ].add(k[a + 3, bb + 3])
+        xp = pad2d(x4, 2, "reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, k4.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(bias, (4,)).astype(y.dtype)
+        y = jnp.tanh(y)
+        # cheap final d2s: only 4*out_dim channels
+        o = self.out_dim
+        y = y.reshape(b, h, w, 2, 2, o)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, o)
+
+
+class ExactHead(nn.Module):
+    """7x7 reflect-pad conv + tanh on spatial layout — same parameter
+    structure as PhaseHead, so the two head modes share checkpoints."""
+
+    out_dim: int = 1
+    pad_type: str = "reflect"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, c, self.out_dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_dim,), jnp.float32)
+        h = pad2d(x, 3, self.pad_type)
+        y = jax.lax.conv_general_dilated(
+            h, k.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.tanh(y + bias.astype(y.dtype))
 
 
 class AdaINResBlock(nn.Module):
@@ -126,11 +227,25 @@ class AdaINResBlock(nn.Module):
 
 
 class Decoder(nn.Module):
+    """AdaIN decoder; ``subpixel_upsample`` selects the TPU-first fast mode.
+
+    Fast mode (default): every upsample+conv pair runs as its exact subpixel
+    decomposition (UpsampleConv), the last stage stays in phase layout, and
+    the head is the folded PhaseHead — ~2x end-to-end throughput.  Each op
+    is exact in the interior, but the 2-pixel reflect borders are
+    approximated at low resolution, and since instance-norm statistics pool
+    over ALL pixels the two modes' outputs diverge gradually through the
+    stack (~0.9 output correlation with random weights).  A model is
+    trained and served in ONE mode (recorded in its config); exact mode
+    reproduces the reference's upsample semantics for parity studies.
+    Parameters are interchangeable between modes.
+    """
+
     dim: int = 512
     ups: int = 3
     out_dim: int = 1
     pad_type: str = "reflect"
-    subpixel_upsample: bool = True   # see UpsampleConv
+    subpixel_upsample: bool = True   # see class docstring
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -156,11 +271,18 @@ class Decoder(nn.Module):
         dim = self.dim
         for i in range(self.ups):
             dim //= 2
+            last = i == self.ups - 1
+            phase = self.subpixel_upsample and last
             x = UpsampleConv(dim, subpixel=self.subpixel_upsample,
-                             dtype=self.dtype, name=f"up{i}")(x)
-            x = nn.relu(instance_norm(x))
-        x = Conv2dBlock(
-            self.out_dim, 7, 1, 3, norm="none", activation="tanh",
-            pad_type=self.pad_type, dtype=self.dtype, name="head",
-        )(x, train=train)
-        return x
+                             emit_phase=phase, dtype=self.dtype,
+                             name=f"up{i}")(x)
+            if phase:
+                x = nn.relu(instance_norm_phase(x))
+            else:
+                x = nn.relu(instance_norm(x))
+        if self.subpixel_upsample:
+            # head consumes phase layout; final d2s happens at out_dim
+            # channels (cheap) instead of at `dim` channels
+            return PhaseHead(self.out_dim, self.dtype, name="head")(x)
+        return ExactHead(self.out_dim, self.pad_type, self.dtype,
+                         name="head")(x)
