@@ -21,6 +21,14 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--logdir", default="runs/line_gan")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--xml-root", default=None,
+                   help="IAM form-XML dir; enables the real line data path "
+                        "(parseIAM semantics)")
+    p.add_argument("--image-root", default=None,
+                   help="IAM form images dir (<form>.png); synthetic "
+                        "fallback per line when absent")
+    p.add_argument("--split", default="train",
+                   choices=("train", "valid", "test"))
     args = p.parse_args(argv)
 
     import jax
@@ -30,8 +38,19 @@ def main(argv=None):
     from affganwriting_tpu.utils.logging import MetricsLogger
 
     charset = LineCharset()
-    ds = LineDataset(charset, a_batch_size=args.a_batch_size,
-                     width=args.width, seed=args.seed)
+    if args.xml_root:
+        from affganwriting_tpu.data.parse_iam import (
+            AuthorLineDataset,
+            AuthorLinesIndex,
+        )
+
+        index = AuthorLinesIndex(args.xml_root, split=args.split)
+        ds = AuthorLineDataset(
+            index, args.image_root or args.xml_root, charset,
+            a_batch_size=args.a_batch_size, seed=args.seed)
+    else:
+        ds = LineDataset(charset, a_batch_size=args.a_batch_size,
+                         width=args.width, seed=args.seed)
     trainer = LineGanTrainer(
         n_class=charset.n_class, max_gen_length=args.max_gen_length,
         lr=args.lr, seed=args.seed)

@@ -17,6 +17,13 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--style-encoder", default="resnet50")
+    p.add_argument("--recognizer", default="seq2seq",
+                   choices=("seq2seq", "trocr"),
+                   help="R: project seq2seq or the TrOCR drop-in "
+                        "(reference main_runtransformer.py)")
+    p.add_argument("--trocr-preset", default="tiny", choices=("tiny", "base"))
+    p.add_argument("--trocr-ckpt", default=None,
+                   help="local HF trocr checkpoint dir to import weights")
     p.add_argument("--oov", action="store_true", default=True)
     p.add_argument("--no-oov", dest="oov", action="store_false")
     p.add_argument("--image-root", default=None,
@@ -27,6 +34,8 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--rec-plateau", action="store_true",
+                   help="ReduceLROnPlateau on R's lr (main_run.py:279)")
     p.add_argument("--max-writers", type=int, default=None,
                    help="restrict to N writers (debug)")
     args = p.parse_args(argv)
@@ -46,6 +55,11 @@ def main(argv=None):
         style_encoder=args.style_encoder,
         oov=args.oov,
         compute_dtype=args.compute_dtype,
+        recognizer=args.recognizer,
+        # the TrOCR drop-in stays frozen (grads reach G only), matching
+        # the reference's intent (trocr_recognizer.py:119-121)
+        rec_frozen=args.recognizer == "trocr",
+        trocr_preset=args.trocr_preset,
     )
     paths = default_reference_paths()
     tr = parse_groundtruth(paths["train_gt"])
@@ -65,7 +79,18 @@ def main(argv=None):
     trainer = WordGanTrainer(
         cfg, train_ds, test_ds, logdir=args.logdir, seed=args.seed,
         eval_every=args.eval_every, save_every=args.save_every,
-        patience=args.patience)
+        patience=args.patience, rec_plateau=args.rec_plateau)
+    if args.trocr_ckpt:
+        from affganwriting_tpu.models.recognizer.trocr import load_pretrained
+
+        loaded = load_pretrained(args.trocr_ckpt)
+        if loaded is None:
+            raise SystemExit(
+                f"--trocr-ckpt {args.trocr_ckpt}: not a readable local HF "
+                "checkpoint directory")
+        params, _, _ = loaded
+        trainer.state = trainer.state.replace(
+            rec=trainer.state.rec.replace(params={"core": params}))
     trainer.fit(args.epochs)
 
 

@@ -82,6 +82,11 @@ class WordGanConfig:
     adain_param_dim: int = 4096
     dis_layers: int = 6
     dis_final_size: int = 1024
+    recognizer: str = "seq2seq"    # "seq2seq" | "trocr" (drop-in R,
+    #                                reference trocr_recognizer.py:101-243)
+    rec_frozen: bool = False       # freeze R's params (TrOCR drop-in keeps
+    #                                TrOCR frozen; grads still reach G)
+    trocr_preset: str = "tiny"     # "tiny" | "base" arch when recognizer=trocr
     rec_hidden: int = 512
     rec_embed: int = 60
     attn_filters: int = 128        # K, recognizer location attention

@@ -21,7 +21,12 @@ import numpy as np
 
 from affganwriting_tpu.data.words import synthetic_word_image
 
-_REF_DATA = "/root/reference/line_generation/data"
+# charset/splits/corpus assets ship in-repo (data files from the public
+# IAM/line_generation distribution); AFFGAN_LINE_DATA overrides.
+_REF_DATA = os.environ.get(
+    "AFFGAN_LINE_DATA",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                 "line"))
 
 
 class LineCharset:

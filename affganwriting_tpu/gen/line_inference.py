@@ -143,3 +143,153 @@ def writer_retrieval(library: StyleLibrary, metric: str = "l2",
             if (ranked[:k] == authors[i]).any():
                 hits[k] += 1
     return {f"top{k}": hits[k] / n for k in top_k}
+
+
+# --- remaining generate.py REPL actions as library functions ----------------
+
+def permute_false(sent: str, rng: np.random.Generator) -> str:
+    """Word-shuffle that is guaranteed different from the original — the
+    'false text' used for MTurk legibility pairs (generate.py:32-48:
+    permuteF keeps first/last word in place when the sentence is long)."""
+    s = sent.split(" ")
+    if len(s) > 4:
+        m = s[1:-1]
+        while m == s[1:-1]:
+            rng.shuffle(m)
+        s = s[:1] + m + s[-1:]
+    elif len(s) > 2:
+        m = list(s)
+        while m == s:
+            rng.shuffle(m)
+        s = m
+    else:
+        s = s[::-1]
+    return " ".join(s)
+
+
+def save_line_png(img: np.ndarray, path: str) -> None:
+    """(H, W, 1) in [-1, 1], ink positive -> white-background PNG
+    (generate.py's (1 - img) * 127.5 convention)."""
+    from PIL import Image
+
+    arr = np.clip((1.0 - img[..., 0]) * 127.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def build_mturk_set(trainer, state, library: StyleLibrary, charset,
+                    test_batches: Iterable[dict], out_dir: str, n: int,
+                    interpolate_styles: bool = True, seed: int = 0) -> str:
+    """The 't' REPL action (generate.py:330-470): write ``n`` MTurk triples
+    — a real test line, a generated line with its true text, and a
+    generated line with permuted 'false' text — plus text.csv describing
+    the HIT rows.  Returns the csv path."""
+    import csv
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # pool of (image, text) from the test split
+    pool: list[tuple[np.ndarray, str]] = []
+    for batch in test_batches:
+        for i, text in enumerate(batch["texts"]):
+            if text.strip():
+                pool.append((batch["image"][i], text))
+        if len(pool) >= n:
+            break
+    if not pool:
+        raise ValueError("no test instances with text")
+
+    csv_path = os.path.join(out_dir, "text.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "text", "false_text"])
+        for i in range(n):
+            img, text = pool[int(rng.integers(len(pool)))]
+            false_text = permute_false(text, rng)
+            # style: one library style, or a random interpolation of two
+            a = library.styles[int(rng.integers(len(library.styles)))]
+            if interpolate_styles:
+                b = library.styles[int(rng.integers(len(library.styles)))]
+                u = float(rng.random())
+                style = a * u + b * (1 - u)
+            else:
+                style = a
+            gen = generate_lines(
+                trainer, state, [text, false_text],
+                np.stack([style, style]), charset,
+                key=jax.random.key(seed + i))
+            save_line_png(np.asarray(img), os.path.join(
+                out_dir, f"real_{i}.png"))
+            save_line_png(gen[0], os.path.join(out_dir, f"gen_{i}.png"))
+            save_line_png(gen[1], os.path.join(out_dir, f"genfalse_{i}.png"))
+            w.writerow([i, text, false_text])
+    return csv_path
+
+
+def load_line_image(path: str, img_height: int = 64) -> np.ndarray:
+    """Image file -> (H, W, 1) in the model's ink-positive [-1, 1] space
+    (the 'f' action's 1 - img/128 load, generate.py:718-741)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("L"), np.float32)
+    if arr.shape[0] != img_height:
+        scale = img_height / arr.shape[0]
+        new_w = max(1, int(round(arr.shape[1] * scale)))
+        with Image.open(path) as im:
+            arr = np.asarray(
+                im.convert("L").resize((new_w, img_height)), np.float32)
+    return (1.0 - arr / 128.0)[..., None]
+
+
+def style_transfer_images(trainer, state, path_a: str, path_b: str,
+                          text: str, charset, steps: int = 8,
+                          img_height: int = 64,
+                          key: Optional[jax.Array] = None) -> np.ndarray:
+    """The 'f' REPL action (generate.py:712-793): extract the style of two
+    reference images, render ``text`` at ``steps`` interpolation points
+    from style A to style B.  Returns (steps, H, W, 1)."""
+    img_a = load_line_image(path_a, img_height)
+    img_b = load_line_image(path_b, img_height)
+    min_w = min(img_a.shape[1], img_b.shape[1])
+    pair = np.stack([img_a[:, :min_w], img_b[:, :min_w]])[..., :1]
+
+    variables = trainer._variables(state)
+    styles, _ = trainer.model.apply(
+        variables, jnp.asarray(pair, jnp.float32), 1,
+        method=trainer.model.extract_style)
+    styles = np.asarray(styles)
+    sweep = interpolate(styles[0], styles[1], steps)
+    return generate_lines(
+        trainer, state, [text] * steps, sweep, charset, key=key)
+
+
+def umap_image_sheet(library: StyleLibrary, images: np.ndarray,
+                     out_path: str, sheet: int = 2048,
+                     thumb_h: int = 32) -> str:
+    """The 'u' REPL action (generate.py umap-images): place line thumbnails
+    at their style vectors' 2D projection (UMAP when available, else PCA
+    via eval.style_viz.project_2d)."""
+    from PIL import Image
+
+    from affganwriting_tpu.eval.style_viz import project_2d
+
+    pts = project_2d(library.styles)
+    pts = pts - pts.min(0)
+    denom = np.maximum(pts.max(0), 1e-6)
+    pts = pts / denom  # [0, 1]^2
+
+    canvas = np.full((sheet, sheet), 255, np.uint8)
+    for i, img in enumerate(images):
+        arr = np.clip((1.0 - img[..., 0]) * 127.5, 0, 255).astype(np.uint8)
+        h, w = arr.shape
+        tw = max(1, int(w * thumb_h / h))
+        thumb = np.asarray(Image.fromarray(arr).resize((tw, thumb_h)))
+        y = int(pts[i, 1] * (sheet - thumb_h))
+        x = int(pts[i, 0] * (sheet - tw)) if tw < sheet else 0
+        canvas[y: y + thumb_h, x: x + min(tw, sheet)] = np.minimum(
+            canvas[y: y + thumb_h, x: x + min(tw, sheet)],
+            thumb[:, : min(tw, sheet)])
+    Image.fromarray(canvas).save(out_path)
+    return out_path

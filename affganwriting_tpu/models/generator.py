@@ -29,8 +29,11 @@ class Generator(nn.Module):
         # style map geometry scales with the image: (H/8, W/8) = (8, 27)
         # for the reference's 64x216 words
         final_hw = (cfg.img_height // 8, cfg.img_width // 8)
+        # pass style_dim only when non-default: fixed-width backbones
+        # (vgg19) have no reducer to shrink and reject the kwarg loudly
+        extra = {} if cfg.style_dim == 512 else {"style_dim": cfg.style_dim}
         self.enc_image = get_style_encoder(
-            cfg.style_encoder, dtype=dtype, final_hw=final_hw)
+            cfg.style_encoder, dtype=dtype, final_hw=final_hw, **extra)
         self.text_encoder = TextEncoderFC(
             max_len=cfg.output_max_len,
             vocab_size=cfg.vocab_size,

@@ -41,3 +41,4 @@ from affganwriting_tpu.models.style_encoders import cnn  # noqa: E402,F401
 from affganwriting_tpu.models.style_encoders import vgg  # noqa: E402,F401
 from affganwriting_tpu.models.style_encoders import vit  # noqa: E402,F401
 from affganwriting_tpu.models.style_encoders import inception  # noqa: E402,F401
+from affganwriting_tpu.models.style_encoders import efficientnet  # noqa: E402,F401

@@ -25,6 +25,7 @@ def _pad_w(x):
 @register("cnn")
 class CNNStyleEncoder(nn.Module):
     final_hw: tuple[int, int] = (8, 27)
+    style_dim: int = 512   # width of the decoder-facing taps (3, 4, last)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -33,6 +34,7 @@ class CNNStyleEncoder(nn.Module):
             f, k, s, p, pad_type="reflect", norm="in", activation="relu",
             dtype=self.dtype, name=name,
         )
+        d = self.style_dim
         r1 = cb(64, 5, 1, 2, "enc1")(x, train=train)
         h = cb(128, 3, 1, 1, "enc2a")(r1, train=train)
         r2 = cb(128, 3, 1, 1, "enc2b")(h, train=train)
@@ -40,17 +42,17 @@ class CNNStyleEncoder(nn.Module):
         h = cb(256, 4, 2, 1, "enc3a")(r2, train=train)
         r3 = cb(256, 3, 1, 0, "enc3b")(_pad_w(h), train=train)
 
-        h = cb(512, 4, 2, 1, "enc4a")(r3, train=train)
-        r4 = cb(512, 3, 1, 0, "enc4b")(_pad_w(h), train=train)
+        h = cb(d, 4, 2, 1, "enc4a")(r3, train=train)
+        r4 = cb(d, 3, 1, 0, "enc4b")(_pad_w(h), train=train)
 
-        h = Conv2dBlock(512, (4, 4), (2, 1), 0, pad_type="reflect", norm="in",
+        h = Conv2dBlock(d, (4, 4), (2, 1), 0, pad_type="reflect", norm="in",
                         activation="relu", dtype=self.dtype, name="enc5")(
             _pad_w(r4), train=train)
         r5 = nn.avg_pool(
             jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0))),
             (1, 3), strides=(1, 2), padding="VALID",
         )
-        r6 = cb(512, 3, 1, 1, "enc6")(r5, train=train)
+        r6 = cb(d, 3, 1, 1, "enc6")(r5, train=train)
         n, _, _, c = r6.shape
         r6 = jax.image.resize(
             r6.astype(jnp.float32), (n, *self.final_hw, c), method="bilinear"

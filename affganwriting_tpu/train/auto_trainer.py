@@ -19,9 +19,16 @@ from affganwriting_tpu.train.line_trainer import ctc_loss
 
 
 class AutoTrainer:
+    """``ctc_weight > 0`` builds the E_HWR head on the AE's bottleneck so
+    CTC regularizes the code itself (autoencoder.py:596-629 +
+    cf_IAM_auto_2tight_newCTC.json)."""
+
     def __init__(self, lr: float = 2e-4, seed: int = 0,
-                 ctc_weight: float = 0.0, n_class: int = 80):
-        self.ae = Autoencoder()
+                 ctc_weight: float = 0.0, n_class: int = 80,
+                 variant: str = "2tight"):
+        self.ae = Autoencoder(
+            variant=variant,
+            hwr_classes=n_class if ctc_weight > 0.0 else None)
         self.opt = optax.adam(lr, b1=0.5, b2=0.999)
         self.ctc_weight = ctc_weight
         self.n_class = n_class
@@ -39,14 +46,15 @@ class AutoTrainer:
         ctc_w = self.ctc_weight
 
         @jax.jit
-        def step(state, img, labels, lengths, hwr_logp):
+        def step(state, img, labels, lengths):
             def loss_fn(params):
-                recon = ae.apply({"params": params}, img)
+                recon, ctc_logp = ae.apply(
+                    {"params": params}, img, return_ctc=True)
                 l1 = jnp.mean(jnp.abs(recon.astype(jnp.float32)
                                       - img.astype(jnp.float32)))
                 loss = l1
                 if ctc_w > 0.0:
-                    loss = loss + ctc_w * ctc_loss(hwr_logp, labels, lengths)
+                    loss = loss + ctc_w * ctc_loss(ctc_logp, labels, lengths)
                 return loss, l1
 
             (loss, l1), grads = jax.value_and_grad(
@@ -68,10 +76,7 @@ class AutoTrainer:
                 "label", np.zeros((img.shape[0], 1), np.int32)))
             lengths = jnp.asarray(batch.get(
                 "label_lengths", np.zeros((img.shape[0],), np.int32)))
-            dummy_logp = jnp.zeros(
-                (img.shape[0], 1, self.n_class), jnp.float32)
-            state, loss, l1 = self._step(state, img, labels, lengths,
-                                         dummy_logp)
+            state, loss, l1 = self._step(state, img, labels, lengths)
             if logger is not None and it % 50 == 0:
                 logger.log(it, {"ae_loss": float(loss), "ae_l1": float(l1)},
                            group="auto")

@@ -105,7 +105,10 @@ class LineGanTrainer:
     def __init__(self, n_class: int = 80, style_dim: int = 128,
                  max_gen_length: int = 128, lr: float = 2e-4,
                  curriculum: Optional[Curriculum] = None, seed: int = 0,
-                 balance_loss: bool = True, hwr_norm: str = "batch"):
+                 balance_loss: bool = True, hwr_norm: str = "batch",
+                 lr_schedule: str | bool = "none", iterations: int = 240_000,
+                 slow_param_names: tuple = (), freeze_param_names: tuple = (),
+                 schedule_kw: Optional[dict] = None):
         self.model = HWWithStyle(
             n_class=n_class, style_dim=style_dim,
             max_gen_length=max_gen_length, hwr_norm=hwr_norm)
@@ -116,7 +119,15 @@ class LineGanTrainer:
         self.balance_loss = balance_loss
         self.n_class = n_class
         self.max_gen_length = max_gen_length
-        self.main_opt = optax.adam(lr, b1=0.5, b2=0.999)
+        # main optimizer: schedule family + name-based slow/frozen groups
+        # (base_trainer.py:49-110, 113-166); built lazily in init_state
+        # (the label tree needs the param pytree)
+        self._opt_cfg = dict(
+            base_lr=lr, iterations=iterations, schedule=lr_schedule,
+            slow_patterns=tuple(slow_param_names),
+            freeze_patterns=tuple(freeze_param_names),
+            **(schedule_kw or {}))
+        self.main_opt = optax.adam(lr, b1=0.5, b2=0.999)  # rebound at init
         self.disc_opt = optax.adam(lr, b1=0.5, b2=0.999)
         self.rng = jax.random.key(seed)
         self._build_steps()
@@ -135,6 +146,13 @@ class LineGanTrainer:
         model_stats = variables.get("batch_stats", {})
         main = {k: v for k, v in params.items() if k != "hwr"}
         hwr = params["hwr"]
+        # rebind the main optimizer now that the param tree exists
+        # (schedule + slow/frozen groups; identical to plain Adam when no
+        # schedule/patterns were requested)
+        from affganwriting_tpu.train.schedules import partitioned_optimizer
+
+        self.main_opt = partitioned_optimizer(params=main, **self._opt_cfg)
+        self._build_steps()
         disc_vars = jax.jit(self.disc.init)(k1, img)
         ae_vars = jax.jit(self.ae.init)(k1, img)
         return LineState(
@@ -432,13 +450,29 @@ class LineGanTrainer:
 
     def fit(self, state: LineState, batches: Iterator[dict],
             iterations: int, log_every: int = 10,
-            logger=None) -> LineState:
+            logger=None, ckpt_fn=None) -> LineState:
+        """``ckpt_fn(state)`` (optional) is called on SIGINT before exit
+        (reference train.py:75-78) — the interrupt loses at most one
+        iteration."""
+        import signal
+
         it = 0
-        for batch in batches:
-            if it >= iterations:
-                break
-            state, metrics = self.train_iteration(state, it, batch)
-            if logger is not None and it % log_every == 0:
-                logger.log(it, metrics, group="line_train")
-            it += 1
+
+        def _sigint(signum, frame):
+            if ckpt_fn is not None:
+                print("SIGINT: saving checkpoint before exit")
+                ckpt_fn(state)
+            raise KeyboardInterrupt
+
+        prev = signal.signal(signal.SIGINT, _sigint)
+        try:
+            for batch in batches:
+                if it >= iterations:
+                    break
+                state, metrics = self.train_iteration(state, it, batch)
+                if logger is not None and it % log_every == 0:
+                    logger.log(it, metrics, group="line_train")
+                it += 1
+        finally:
+            signal.signal(signal.SIGINT, prev)
         return state

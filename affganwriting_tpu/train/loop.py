@@ -60,6 +60,7 @@ class WordGanTrainer:
         save_every: int = 100,
         save_latest_every_steps: int = 250,
         patience: int = 20,
+        rec_plateau: bool = False,
     ):
         self.config = config
         self.train_data = train_data
@@ -70,6 +71,12 @@ class WordGanTrainer:
         self.save_every = save_every
         self.save_latest_every_steps = save_latest_every_steps
         self.early = EarlyStopping(patience)
+        if rec_plateau and not config.rec_frozen:
+            from affganwriting_tpu.train.schedules import PlateauScaler
+
+            self.plateau = PlateauScaler()
+        else:
+            self.plateau = None
         self.rng = jax.random.key(seed)
 
         self.state = init_state(config, jax.random.key(seed))
@@ -162,17 +169,53 @@ class WordGanTrainer:
         except Exception as e:  # sheet dumping must never kill training
             print(f"sheet dump failed: {e}")
 
+    def _plateau_step(self, monitor: float) -> None:
+        """ReduceLROnPlateau on R's lr (GAN_word/main_run.py:279): the lr
+        is injected optimizer state, so scaling it is a host-side pytree
+        edit — no recompile."""
+        if self.plateau is None:
+            return
+        import jax.numpy as jnp
+
+        mul = self.plateau.update(monitor)
+        opt_state = self.state.rec.opt_state
+        if not hasattr(opt_state, "hyperparams"):   # frozen R: no-op opt
+            return
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(
+            self.config.lr_rec * mul, jnp.float32)
+        self.state = self.state.replace(
+            rec=self.state.rec.replace(
+                opt_state=opt_state._replace(hyperparams=hp)))
+
     def fit(self, epochs: int) -> None:
-        for epoch in range(self.start_epoch, epochs):
-            self.train_epoch(epoch)
-            if self.test_data is not None and epoch % self.eval_every == 0:
-                monitor = self.evaluate(epoch)
-                self.ckpt.maybe_save_best(self.state, self.config, monitor)
-                self.early.update(monitor)
-                if self.early.should_stop:
-                    print(f"early stop at epoch {epoch} "
-                          f"(best {self.early.best:.3f})")
-                    break
-            if epoch % self.save_every == 0 and epoch > 0:
-                self.ckpt.save_step(self.state, self.config, epoch)
-        self.ckpt.save_latest(self.state, self.config)
+        # SIGINT -> save a latest checkpoint before exiting (reference
+        # line_generation/train.py:75-78); the saved state is the last
+        # completed step, so an interrupt loses at most one step
+        import signal
+
+        def _sigint(signum, frame):
+            print("SIGINT: saving latest checkpoint before exit")
+            self.ckpt.save_latest(self.state, self.config)
+            raise KeyboardInterrupt
+
+        prev = signal.signal(signal.SIGINT, _sigint)
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                self.train_epoch(epoch)
+                if (self.test_data is not None
+                        and epoch % self.eval_every == 0):
+                    monitor = self.evaluate(epoch)
+                    self._plateau_step(monitor)
+                    self.ckpt.maybe_save_best(
+                        self.state, self.config, monitor)
+                    self.early.update(monitor)
+                    if self.early.should_stop:
+                        print(f"early stop at epoch {epoch} "
+                              f"(best {self.early.best:.3f})")
+                        break
+                if epoch % self.save_every == 0 and epoch > 0:
+                    self.ckpt.save_step(self.state, self.config, epoch)
+            self.ckpt.save_latest(self.state, self.config)
+        finally:
+            signal.signal(signal.SIGINT, prev)

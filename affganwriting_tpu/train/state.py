@@ -46,18 +46,43 @@ def build_models(config: WordGanConfig):
                         config.dis_final_size, config.dis_layers, dtype)
     cla = WriterClassifier(config.num_writers, config.img_height,
                            config.img_width, config.dis_layers, dtype)
-    rec = Recognizer(config.vocab_size, config.rec_hidden, config.rec_embed,
-                     config.output_max_len, dtype=dtype)
+    rec = build_recognizer(config, dtype)
     return gen, dis, cla, rec
 
 
+def build_recognizer(config: WordGanConfig, dtype=None):
+    """R behind a registry key: the project seq2seq (default) or the TrOCR
+    drop-in (reference main_runtransformer.py wiring)."""
+    dtype = dtype or jnp.dtype(config.compute_dtype)
+    if config.recognizer == "seq2seq":
+        return Recognizer(config.vocab_size, config.rec_hidden,
+                          config.rec_embed, config.output_max_len,
+                          dtype=dtype)
+    if config.recognizer == "trocr":
+        from affganwriting_tpu.models.recognizer.trocr import (
+            TrOCRArch,
+            TrOCRRecognizer,
+        )
+
+        arch = (TrOCRArch.base_handwritten()
+                if config.trocr_preset == "base" else TrOCRArch.tiny())
+        return TrOCRRecognizer(arch, output_max_len=config.output_max_len)
+    raise ValueError(f"unknown recognizer {config.recognizer!r}")
+
+
 def make_optimizers(config: WordGanConfig):
-    # Adam with torch defaults, lrs from main_runold.py:41-44
+    # Adam with torch defaults, lrs from main_runold.py:41-44.  A frozen R
+    # (TrOCR drop-in) gets a no-op optimizer; otherwise R's lr is injected
+    # as state so ReduceLROnPlateau (main_run.py:279) can rescale it
+    # host-side between jitted steps.
+    rec_opt = (optax.set_to_zero() if config.rec_frozen
+               else optax.inject_hyperparams(optax.adam)(
+                   learning_rate=config.lr_rec))
     return {
         "gen": optax.adam(config.lr_gen),
         "dis": optax.adam(config.lr_dis),
         "cla": optax.adam(config.lr_cla),
-        "rec": optax.adam(config.lr_rec),
+        "rec": rec_opt,
     }
 
 

@@ -63,14 +63,23 @@ def make_train_step(config: WordGanConfig):
                 mutable=["batch_stats"],
             )
             loss = losses.rec_loss(logits, labels_ch0, config.label_smoothing)
-            return loss, (updates["batch_stats"], logits)
+            return loss, (updates.get("batch_stats", {}), logits)
 
-        (l_rec_tr, (rec_stats, rec_logits_tr)), rec_grads = (
-            jax.value_and_grad(rec_loss_fn, has_aux=True)(state.rec.params))
-        rec_upd, rec_opt = opts["rec"].update(
-            rec_grads, state.rec.opt_state, state.rec.params)
-        rec_params = jax.tree.map(
-            lambda p, u: p + u, state.rec.params, rec_upd)
+        if config.rec_frozen:
+            # frozen R (e.g. the TrOCR drop-in keeps TrOCR weights fixed,
+            # reference trocr_recognizer.py:119-121): forward for metrics
+            # only, no grads / no update
+            l_rec_tr, (rec_stats, rec_logits_tr) = rec_loss_fn(
+                state.rec.params)
+            rec_params, rec_opt = state.rec.params, state.rec.opt_state
+        else:
+            (l_rec_tr, (rec_stats, rec_logits_tr)), rec_grads = (
+                jax.value_and_grad(rec_loss_fn, has_aux=True)(
+                    state.rec.params))
+            rec_upd, rec_opt = opts["rec"].update(
+                rec_grads, state.rec.opt_state, state.rec.params)
+            rec_params = jax.tree.map(
+                lambda p, u: p + u, state.rec.params, rec_upd)
         metrics["l_rec_tr"] = l_rec_tr
 
         # ---- phase 2: writer classifier on the real image ---------------
@@ -121,7 +130,9 @@ def make_train_step(config: WordGanConfig):
 
             def r(x, lab, key):
                 # train-mode forward; stat updates discarded (R's running
-                # averages advance only in its own phase)
+                # averages advance only in its own phase).  Grads flow to
+                # the image (hence to G) but R's params see stop_gradient
+                # here — they are not the differentiated argument.
                 (logits, _), _ = rec.apply(
                     {"params": rec_params, "batch_stats": rec_stats},
                     x, lab, train=True, rngs={"dropout": key},

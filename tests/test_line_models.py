@@ -130,3 +130,49 @@ def test_correct_pred_alignment():
     dedup = [c for i, c in enumerate(chars) if i == 0 or chars[i - 1] != c]
     assert dedup == [3, 7, 5]
     assert interleave_blanks(label).shape == (7, 1)
+
+
+def test_ae_variants_and_ehwr_head():
+    """Size variants select the reference's bottlenecks; E_HWR emits CTC
+    log-probs from the code (autoencoder.py:8-52, 596-629)."""
+    import jax
+    import numpy as np
+    from affganwriting_tpu.models.line.autoencoder import (
+        VARIANTS, Autoencoder)
+
+    assert VARIANTS["2tight"][1] == 32
+    assert VARIANTS["2tighter"][1] == 16
+    assert VARIANTS["2"][1] == 256
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 128, 1)), jnp.float32)
+    ae = Autoencoder(variant="2tighter", hwr_classes=80)
+    variables = ae.init(jax.random.key(0), x)
+    recon, logp = ae.apply(variables, x, return_ctc=True)
+    assert recon.shape == x.shape
+    assert logp.shape == (2, 128 // 16, 80)   # bottleneck strip width
+    np.testing.assert_allclose(
+        np.exp(np.asarray(logp)).sum(-1), 1.0, atol=1e-4)
+    # grads reach the encoder through the CTC head
+    def loss(p):
+        _, lp = ae.apply({"params": p}, x, return_ctc=True)
+        return -lp.mean()
+    g = jax.grad(loss)(variables["params"])
+    enc_leaf = jax.tree.leaves(g["enc0"])[0]
+    assert float(jnp.abs(enc_leaf).max()) > 0
+
+
+def test_auto_trainer_ctc_regularized():
+    import jax
+    import numpy as np
+    from affganwriting_tpu.train.auto_trainer import AutoTrainer
+
+    tr = AutoTrainer(ctc_weight=0.1, n_class=80)
+    img = np.random.default_rng(0).normal(size=(2, 64, 128, 1))
+    img = img.astype(np.float32)
+    state = tr.init_state(img, jax.random.key(0))
+    batch = {"image": img,
+             "label": np.asarray([[5, 6, 7, 0], [8, 9, 0, 0]], np.int32),
+             "label_lengths": np.asarray([3, 2], np.int32)}
+    state = tr.train(state, iter([batch, batch]), iterations=2)
+    assert int(state["step"]) == 2

@@ -22,8 +22,13 @@ def test_ema():
 
 
 def test_rimes_charset_loads():
-    cs = LineCharset(
-        "/root/reference/line_generation/data/RIMES_characterset_lines.json")
+    import os
+
+    import affganwriting_tpu.data as data_pkg
+
+    cs = LineCharset(os.path.join(
+        os.path.dirname(data_pkg.__file__), "assets", "line",
+        "RIMES_characterset_lines.json"))
     assert cs.n_class > 10
     some = list(cs.char_to_idx)[0]
     assert cs.decode(cs.encode(some)) == some
