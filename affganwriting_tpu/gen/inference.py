@@ -43,11 +43,12 @@ def make_generate_fn(config: WordGanConfig):
             variables, style_stack, train=False, method=gen.encode_style)
         b = labels.shape[0]
         s = style_stack.shape[0]
-        if s != b:
+        if s != b and s != 1:
+            # multi-writer stacks: tile so writer i%S styles word i
             reps = b // s
-            pyramid = [
-                jnp.repeat(tap, reps, axis=0) for tap in pyramid
-            ]
+            pyramid = [jnp.repeat(tap, reps, axis=0) for tap in pyramid]
+        # s == 1 needs no tiling: the batch-1 pyramid broadcasts through
+        # the split mix and the iAFF skip fusion
         return gen.apply(
             variables, pyramid, labels, train=False, method=gen.generate)
 
@@ -55,22 +56,35 @@ def make_generate_fn(config: WordGanConfig):
 
 
 def make_generate_and_read_fn(config: WordGanConfig):
-    """Generation + recognition in one program: the tt.* pipeline
-    (generate, OCR with R, keep) as a single XLA call returning images and
-    greedy-decoded label ids."""
+    """Generation + recognition: the tt.* pipeline (generate, OCR with R,
+    keep) as TWO pipelined XLA programs returning images and greedy-decoded
+    label ids.
+
+    Two programs, not one: fusing G and R into a single XLA computation
+    measured ~10x SLOWER on v5e (205 vs 2687 imgs/s at batch 1024) — the
+    combined program's live set (G's batch-tiled style pyramid + R's VGG
+    activations) blows past HBM and XLA spills.  Two back-to-back jits keep
+    each program's working set resident and the dispatch overhead is
+    amortized by async execution.
+    """
     gen, _, _, rec = build_models(config)
 
     @jax.jit
-    def run(gen_variables, rec_variables, style_stack, labels):
+    def run_gen(gen_variables, style_stack, labels):
+        # batch-1 pyramid broadcasts through mix/iAFF — no tiling
         pyramid = gen.apply(
             gen_variables, style_stack, train=False, method=gen.encode_style)
-        b, s = labels.shape[0], style_stack.shape[0]
-        if s != b:
-            pyramid = [jnp.repeat(t, b // s, axis=0) for t in pyramid]
-        images = gen.apply(
+        return gen.apply(
             gen_variables, pyramid, labels, train=False, method=gen.generate)
+
+    @jax.jit
+    def run_rec(rec_variables, images, labels):
         logits, _ = rec.apply(rec_variables, images, labels, train=False)
-        pred_ids = jnp.argmax(logits, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    def run(gen_variables, rec_variables, style_stack, labels):
+        images = run_gen(gen_variables, style_stack, labels)
+        pred_ids = run_rec(rec_variables, images, labels)
         return images, pred_ids
 
     return run

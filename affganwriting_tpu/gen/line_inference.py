@@ -189,10 +189,15 @@ def build_mturk_set(trainer, state, library: StyleLibrary, charset,
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    # pool of (image, text) from the test split
+    # pool of (image, text) from the test split; datasets without a
+    # "texts" key (synthetic LineDataset) decode their labels instead
     pool: list[tuple[np.ndarray, str]] = []
     for batch in test_batches:
-        for i, text in enumerate(batch["texts"]):
+        texts = batch.get("texts") or [
+            charset.decode(row[:le])
+            for row, le in zip(np.asarray(batch["label"]),
+                               np.asarray(batch["label_lengths"]))]
+        for i, text in enumerate(texts):
             if text.strip():
                 pool.append((batch["image"][i], text))
         if len(pool) >= n:

@@ -20,6 +20,35 @@ from affganwriting_tpu.models.style_encoders import get_style_encoder
 from affganwriting_tpu.models.text_encoder import TextEncoderFC
 
 
+class SplitMix(nn.Module):
+    """Dense over concat([style, content]) without the concat.
+
+    Kernel shape/path identical to ``nn.Dense`` over the concatenation
+    ((style_dim + content_dim, features) at 'linear_mix/kernel'), applied as
+    ``style @ K[:ds] + content @ K[ds:] + b`` — exact same math, but a
+    batch-1 style term broadcasts against batch-B content, which is what
+    lets inference keep the per-writer pyramid un-tiled.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, style_last, content):
+        ds = style_last.shape[-1]
+        din = ds + content.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (din, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        k = k.astype(self.dtype)
+        s = jnp.einsum("bhwc,cf->bhwf", style_last.astype(self.dtype),
+                       k[:ds], preferred_element_type=jnp.float32)
+        c = jnp.einsum("bhwc,cf->bhwf", content.astype(self.dtype),
+                       k[ds:], preferred_element_type=jnp.float32)
+        return (s + c + b).astype(self.dtype)
+
+
 class Generator(nn.Module):
     config: WordGanConfig
 
@@ -44,11 +73,12 @@ class Generator(nn.Module):
         )
         self.dec = Decoder(dim=cfg.style_dim, dtype=dtype)
         # mix: concat(style[-1], content) channels -> Dense back to style_dim
-        # (GAN_word/modules_tro.py:252-259)
-        self.linear_mix = nn.Dense(
-            cfg.style_dim, dtype=dtype, param_dtype=jnp.float32,
-            name="linear_mix",
-        )
+        # (GAN_word/modules_tro.py:252-259).  Implemented as a split dense
+        # (same kernel layout) so a batch-1 style feature broadcasts against
+        # a batch-B content without materializing the tiled concat — the
+        # style half of the matmul runs ONCE per writer.
+        self.linear_mix = SplitMix(
+            cfg.style_dim, dtype=dtype, name="linear_mix")
 
     def encode_style(self, style_stack, *, train: bool = False):
         """(B, 64, 216, 50) -> 5-tap pyramid, last tap (B, 8, 27, 512)."""
@@ -58,8 +88,7 @@ class Generator(nn.Module):
         return self.text_encoder(labels, feat_hw, train=train)
 
     def mix(self, style_last, content):
-        feat = jnp.concatenate([style_last, content], axis=-1)
-        return self.linear_mix(feat)
+        return self.linear_mix(style_last, content)
 
     def decode(self, mixed, adain_params, pyramid: Sequence, *,
                train: bool = False):

@@ -62,6 +62,34 @@ def hinge_g(scores):
     return -jnp.mean(scores.astype(jnp.float32))
 
 
+def balance_combine(base_grads, saved: list):
+    """Per-parameter gradient balancing (arXiv 1903.00277, reference
+    hw_with_style_trainer.py:309-386): for each saved-loss gradient R and
+    each leaf i, add ``x * R_i * (abmean(D_i) / abmean(R_i))`` to the base
+    gradient D — so every auxiliary loss contributes at x times the base
+    loss's per-parameter gradient scale.  Zero-mean D leaves fall back to
+    the mean of the nonzero abmeans (:331-337); zero-mean R leaves are
+    skipped (:383).
+
+    ``saved`` is a list of (grad_tree, multiplier) pairs.
+    """
+    d_leaves, treedef = jax.tree.flatten(base_grads)
+    d_means = [jnp.mean(jnp.abs(x)) for x in d_leaves]
+    total = sum(d_means)
+    count = sum((m > 0).astype(jnp.float32) for m in d_means)
+    nonzero = total / jnp.maximum(count, 1.0)
+    d_means = [jnp.where(m == 0.0, nonzero, m) for m in d_means]
+
+    out = list(d_leaves)
+    for grads, mult in saved:
+        r_leaves = jax.tree.leaves(grads)
+        for i, (r, dm) in enumerate(zip(r_leaves, d_means)):
+            rm = jnp.mean(jnp.abs(r))
+            scale = jnp.where(rm > 0, dm / jnp.maximum(rm, 1e-30), 0.0)
+            out[i] = out[i] + mult * r * scale
+    return jax.tree.unflatten(treedef, out)
+
+
 def ctc_loss(log_probs, labels, label_lengths):
     """log_probs (B, T, K), blank=0; labels (B, N) padded with 0."""
     b, t, _ = log_probs.shape
@@ -117,6 +145,11 @@ class LineGanTrainer:
         self.curriculum = curriculum or Curriculum()
         self.style_bank = StyleBank(seed=seed)
         self.balance_loss = balance_loss
+        # iteration-scheduled per-slot balance multipliers; active config
+        # value from cf_IAMslant_...sMG.json: {"0": [0.6, 0.5, 0.4, 0.75]}
+        # — slot 0 multiplies the auto-gen adversarial grads, slot 1 the
+        # genRecog CTC grads (stash order, hw_with_style_trainer.py:288-293)
+        self.balance_var_x: dict[int, tuple] = {0: (0.6, 0.5, 0.4, 0.75)}
         self.n_class = n_class
         self.max_gen_length = max_gen_length
         # main optimizer: schedule family + name-based slow/frozen groups
@@ -253,6 +286,66 @@ class LineGanTrainer:
                                "auto_perceptual": perc}, style
 
         @jax.jit
+        def auto_gen_step(state: LineState, image, label, lengths,
+                          spaced_onehot, rng, adv_mult):
+            """'auto-gen' lesson: the reference additionally runs the
+            adversarial G loss on the *reconstruction* (fake = recon,
+            hw_with_style_trainer.py:792, 818-831), its gradients balanced
+            into the recon gradients as the scheduled autoGen slot
+            (:288-293, 309-386)."""
+            image32 = image.astype(jnp.float32)
+
+            def fwd(main_params):
+                variables = {"params": {**main_params,
+                                        "hwr": state.hwr_params}}
+                if state.model_stats:
+                    variables["batch_stats"] = state.model_stats
+                style, _ = model.apply(
+                    variables, image, method=model.extract_style)
+                k1, k2 = jax.random.split(rng)
+                recon, _, _ = model.apply(
+                    variables, label, lengths, style, spaced_onehot,
+                    train=True, rngs={"noise": k1, "dropout": k2})
+                return recon, style
+
+            def recon_loss_fn(main_params):
+                recon, style = fwd(main_params)
+                w = min(recon.shape[2], image32.shape[2])
+                l1 = jnp.mean(jnp.abs(
+                    recon[:, :, :w].astype(jnp.float32) - image32[:, :, :w]))
+                fr = ae.apply({"params": state.ae_params},
+                              image32[:, :, :w], method=ae.encode)
+                ff = ae.apply({"params": state.ae_params},
+                              recon[:, :, :w].astype(jnp.float32),
+                              method=ae.encode)
+                perc = sum(jnp.mean(jnp.abs(a.astype(jnp.float32)
+                                            - b.astype(jnp.float32)))
+                           for a, b in zip(fr, ff)) / len(fr)
+                return l1 + perc, (l1, perc, style)
+
+            def adv_loss_fn(main_params):
+                recon, _ = fwd(main_params)
+                heads = disc.apply(
+                    {"params": state.disc_params,
+                     "batch_stats": state.disc_stats}, recon)
+                return sum(hinge_g(h) for h in heads) / len(heads)
+
+            (loss, (l1, perc, style)), g_base = jax.value_and_grad(
+                recon_loss_fn, has_aux=True)(state.main_params)
+            l_adv, g_adv = jax.value_and_grad(adv_loss_fn)(state.main_params)
+            grads = balance_combine(g_base, [(g_adv, adv_mult)])
+            grads = jax.tree.map(lambda g: jnp.clip(g, -2.0, 2.0), grads)
+            upd, new_opt = main_opt.update(
+                grads, state.main_opt, state.main_params)
+            new_main = jax.tree.map(
+                lambda p, u: p + u, state.main_params, upd)
+            new_state = state.replace(
+                step=state.step + 1, main_params=new_main, main_opt=new_opt)
+            return new_state, {"auto": loss, "auto_l1": l1,
+                               "auto_perceptual": perc,
+                               "auto_gen_adv": l_adv}, style
+
+        @jax.jit
         def count_step(state: LineState, image, label, lengths,
                        gt_counts, rng):
             """Spacer MSE vs DTW-derived counts (trainer:626-729)."""
@@ -287,8 +380,11 @@ class LineGanTrainer:
         balance = self.balance_loss
 
         @jax.jit
-        def gen_step(state: LineState, label, lengths, style, rng):
-            """Hinge G + CTC genRecog, per-loss gradient balancing."""
+        def gen_step(state: LineState, label, lengths, style, rng,
+                     ctc_mult):
+            """Hinge G + CTC genRecog, per-parameter gradient balancing
+            with the iteration-scheduled recog multiplier
+            (hw_with_style_trainer.py:309-386; balance_var_x)."""
             def adv_loss(main_params):
                 img, _, _ = gen_forward(
                     main_params, state, label, lengths, style,
@@ -314,15 +410,9 @@ class LineGanTrainer:
             l_ctc, g_ctc = jax.value_and_grad(ctc_of)(state.main_params)
 
             if balance:
-                def mean_abs(tree):
-                    leaves = jax.tree.leaves(tree)
-                    total = sum(jnp.sum(jnp.abs(x)) for x in leaves)
-                    count = sum(x.size for x in leaves)
-                    return total / count
-                ratio = mean_abs(g_adv) / (mean_abs(g_ctc) + 1e-12)
-                ratio = jnp.clip(ratio, 1e-2, 1e2)
-                g_ctc = jax.tree.map(lambda g: g * ratio, g_ctc)
-            grads = jax.tree.map(lambda a, b: a + b, g_adv, g_ctc)
+                grads = balance_combine(g_adv, [(g_ctc, ctc_mult)])
+            else:
+                grads = jax.tree.map(lambda a, b: a + b, g_adv, g_ctc)
             # grad value clip 2 (trainer:390)
             grads = jax.tree.map(lambda g: jnp.clip(g, -2.0, 2.0), grads)
             upd, new_opt = main_opt.update(
@@ -365,6 +455,7 @@ class LineGanTrainer:
                 disc_stats=new_stats, disc_opt=new_opt), {"disc": loss}
 
         self.auto_step = auto_step
+        self.auto_gen_step = auto_gen_step
         self.count_step = count_step
         self.gen_step = gen_step
         self.disc_step = disc_step
@@ -396,6 +487,15 @@ class LineGanTrainer:
                     x += 1
         return out
 
+    def _mults(self, iteration: int) -> tuple:
+        """Active balance multipliers: last balance_var_x entry whose
+        iteration threshold <= iteration (trainer:378-382)."""
+        active = (1.0, 1.0, 1.0, 1.0)
+        for start in sorted(self.balance_var_x):
+            if start <= iteration:
+                active = tuple(self.balance_var_x[start])
+        return active
+
     # ----- one training iteration -----
     def train_iteration(self, state: LineState, iteration: int,
                         batch: dict) -> tuple[LineState, dict]:
@@ -421,8 +521,13 @@ class LineGanTrainer:
             sp = np.zeros((spaced.shape[0], t), spaced.dtype)
             sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
             spaced_onehot = jax.nn.one_hot(jnp.asarray(sp), self.n_class)
-            state, m, style = self.auto_step(
-                state, image, label, lengths, spaced_onehot, key)
+            if "auto-gen" in lesson:
+                state, m, style = self.auto_gen_step(
+                    state, image, label, lengths, spaced_onehot, key,
+                    jnp.asarray(self._mults(iteration)[0], jnp.float32))
+            else:
+                state, m, style = self.auto_step(
+                    state, image, label, lengths, spaced_onehot, key)
             metrics.update({k: float(v) for k, v in m.items()})
             self.style_bank.add(np.asarray(style))
         if "gen" in lesson or "disc" in lesson:
@@ -436,7 +541,8 @@ class LineGanTrainer:
             style = jnp.asarray(style)
             if "gen" in lesson:
                 new_state, m, _ = self.gen_step(
-                    state, label, lengths, style, key)
+                    state, label, lengths, style, key,
+                    jnp.asarray(self._mults(iteration)[1], jnp.float32))
                 # 'no-step' lessons evaluate the gen losses without applying
                 # the update (curriculum token, hw_with_style_trainer.py)
                 if "no-step" not in lesson:

@@ -1,6 +1,7 @@
 """The determinism contract (BASELINE.md): same (params, style stack, text)
 always yields the same image; different text yields a different image."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +15,7 @@ CFG = default_config().replace(
     img_height=32, img_width=104)
 
 
+@pytest.mark.slow
 def test_word_generation_deterministic():
     gen, _, _, _ = build_models(CFG)
     rng = np.random.default_rng(0)

@@ -29,6 +29,7 @@ def test_crnn_and_cnnonly_log_probs():
         np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spaced_generator_shape_and_determinism():
     L = 24
     gen = SpacedGenerator(n_class=K, style_size=128)
@@ -55,6 +56,7 @@ def test_count_cnn():
     assert out.shape == (B, 10, 2)
 
 
+@pytest.mark.slow
 def test_char_style_encoder():
     hwr = CNNOnlyHWR(nclass=K, dtype=jnp.float32)
     hv = hwr.init(jax.random.key(0), IMG)
@@ -132,6 +134,7 @@ def test_correct_pred_alignment():
     assert interleave_blanks(label).shape == (7, 1)
 
 
+@pytest.mark.slow
 def test_ae_variants_and_ehwr_head():
     """Size variants select the reference's bottlenecks; E_HWR emits CTC
     log-probs from the code (autoencoder.py:8-52, 596-629)."""
@@ -162,6 +165,7 @@ def test_ae_variants_and_ehwr_head():
     assert float(jnp.abs(enc_leaf).max()) > 0
 
 
+@pytest.mark.slow
 def test_auto_trainer_ctc_regularized():
     import jax
     import numpy as np

@@ -72,7 +72,8 @@ def test_one_iteration_of_each_lesson():
         for k, v in metrics.items():
             assert np.isfinite(v), (it, k, v)
         all_metrics.update(metrics)
-    # every lesson type produced its losses
-    for key in ("count", "auto", "auto_perceptual", "gen_adv", "gen_ctc",
-                "disc"):
+    # every lesson type produced its losses; auto-gen adds the
+    # adversarial-on-recon term (hw_with_style_trainer.py:792, 818-831)
+    for key in ("count", "auto", "auto_perceptual", "auto_gen_adv",
+                "gen_adv", "gen_ctc", "disc"):
         assert key in all_metrics, key

@@ -43,6 +43,7 @@ def test_vocab():
     assert VOCAB.decode(lab) == "the"
 
 
+@pytest.mark.slow
 def test_generator_shapes():
     gen = Generator(CFG)
     variables = gen.init(jax.random.key(0), _style_stack(), _labels())
@@ -56,6 +57,7 @@ def test_generator_shapes():
         assert tap.shape[-1] == 512  # iAFF skip taps
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("enc", ["resnet50", "resnet18"])
 def test_resnet_style_encoders(enc):
     cfg = CFG.replace(style_encoder=enc)

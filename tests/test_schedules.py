@@ -109,6 +109,7 @@ def test_plateau_scaler():
     assert p.update(9.5) == pytest.approx(0.1)  # bad 3 > patience -> drop
 
 
+@pytest.mark.slow
 def test_line_trainer_uses_schedule_and_groups():
     """End of the wiring: a trainer built with a schedule + slow names
     produces a multi_transform optimizer whose state initializes."""

@@ -1,5 +1,6 @@
 """Teacher phase: self-teacher pseudo-labeling + filtered R-only update."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -41,6 +42,7 @@ def test_texts_to_labels_filters_charset():
     assert VOCAB.decode(out[1]) == "a"
 
 
+@pytest.mark.slow
 def test_teacher_phase_runs_and_updates_only_rec():
     state = init_state(TINY, jax.random.key(0))
     teacher = SelfTeacher(TINY, variables_of(state.rec))

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core CPU harness
+
 from affganwriting_tpu.core.config import default_config
 from affganwriting_tpu.data.words import synthetic_word_image
 from affganwriting_tpu.core.config import VOCAB

@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core CPU harness
+
 from affganwriting_tpu.core.checkpoint import CheckpointManager
 from affganwriting_tpu.core.config import default_config
 from affganwriting_tpu.data.iam import (

@@ -27,7 +27,10 @@ def test_default_table_injective_and_valid():
     letters = mv[VOCAB.num_tokens:]
     assert len(set(letters.tolist())) == len(letters)  # injective
     assert valid[VOCAB.num_tokens:].all()
-    assert not valid[:VOCAB.num_tokens].any()
+    # END is a live class (it is a target after the GO-shift); GO/PAD
+    # stay masked
+    assert valid[VOCAB.end]
+    assert not valid[VOCAB.go] and not valid[VOCAB.pad]
 
 
 def test_preprocess_geometry_and_gradient():
