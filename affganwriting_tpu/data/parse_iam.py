@@ -170,7 +170,8 @@ class AuthorLineDataset:
 
     def __init__(self, index: AuthorLinesIndex, image_dir: str,
                  charset, a_batch_size: int = 2, img_height: int = 64,
-                 max_width: int = 2048, label_len: int = 96, seed: int = 0):
+                 max_width: int = 2048, label_len: int = 96, seed: int = 0,
+                 augment: bool = False, with_fg_mask: bool = False):
         self.index = index
         self.image_dir = image_dir
         self.charset = charset
@@ -179,6 +180,10 @@ class AuthorLineDataset:
         self.max_width = max_width
         self.label_len = label_len
         self.seed = seed
+        # train-time augmentation chain (author_hw_dataset.py:291-299) and
+        # Otsu fg masks for the no-background pixel loss (:200-229)
+        self.augment = augment
+        self.with_fg_mask = with_fg_mask
         # authors need >= a_batch_size lines to form a group
         self.authors = [a for a in index.authors
                         if len(index.by_author[a]) >= a_batch_size]
@@ -224,22 +229,39 @@ class AuthorLineDataset:
                             self.img_height, 512)
                     entries.append((author, rec, img))
 
+            if self.augment:
+                from affganwriting_tpu.data.line_augment import augment_line
+
+                entries = [
+                    (author, rec,
+                     1.0 - 2.0 * augment_line((1.0 - img) / 2.0, rng))
+                    for author, rec, img in entries]
+
             widths = [e[2].shape[1] for e in entries]
             bw = bucket_width(max(widths), max_width=self.max_width)
             n = len(entries)
             images = np.full((n, self.img_height, bw, 1), -1.0, np.float32)
             labels = np.zeros((n, self.label_len), np.int32)
             lengths = np.zeros((n,), np.int32)
+            if self.with_fg_mask:
+                masks = np.zeros((n, self.img_height, bw, 1), np.float32)
             authors, texts = [], []
             for i, (author, rec, img) in enumerate(entries):
                 w = min(img.shape[1], bw)
                 images[i, :, :w, 0] = img[:, :w]
+                if self.with_fg_mask:
+                    from affganwriting_tpu.data.line_augment import (
+                        foreground_mask,
+                    )
+
+                    masks[i, :, :w, 0] = foreground_mask(
+                        (1.0 - img[:, :w]) / 2.0)
                 ids = self.charset.encode(rec.text)[: self.label_len]
                 labels[i, : len(ids)] = ids
                 lengths[i] = len(ids)
                 authors.append(author)
                 texts.append(rec.text)
-            yield {
+            out = {
                 "image": images,
                 "label": labels,
                 "label_lengths": lengths,
@@ -247,3 +269,6 @@ class AuthorLineDataset:
                 "texts": texts,
                 "a_batch_size": ab,
             }
+            if self.with_fg_mask:
+                out["fg_mask"] = masks
+            yield out

@@ -100,6 +100,26 @@ def _resize_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
             + c * wy * (1 - wx) + d * wy * wx)
 
 
+def _synthetic_cached(word: str, writer_seed: int, height: int,
+                      width: int) -> np.ndarray:
+    out = _synthetic_cached_impl(word, writer_seed, height, width)
+    return out
+
+
+def _synthetic_cached_impl(word, writer_seed, height, width):
+    import functools
+
+    if not hasattr(_synthetic_cached_impl, "_fn"):
+        @functools.lru_cache(maxsize=20000)
+        def fn(word, writer_seed, height, width):
+            img = synthetic_word_image(word, writer_seed, height, width)
+            img.setflags(write=False)   # cached: callers must not mutate
+            return img
+
+        _synthetic_cached_impl._fn = fn
+    return _synthetic_cached_impl._fn(word, writer_seed, height, width)
+
+
 def synthetic_word_image(word: str, writer_seed: int,
                          height: int = 64, width: int = 216) -> np.ndarray:
     """Deterministic procedural 'handwriting': per-character stroke blobs
@@ -166,7 +186,10 @@ class WordStyleDataset:
     def _read(self, entry: WordEntry, writer_label: int) -> np.ndarray:
         cfg = self.config
         if self.reader is None:
-            return synthetic_word_image(
+            # deterministic per (word, writer): cache renders — on the
+            # 1-core harness an uncached batch-8 step spends ~1.8s just
+            # rendering its 408 style images
+            return _synthetic_cached(
                 entry.word, writer_label, cfg.img_height, cfg.img_width)
         img = self.reader(entry)
         if img is None:

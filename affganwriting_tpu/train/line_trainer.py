@@ -245,8 +245,10 @@ class LineGanTrainer:
 
         @jax.jit
         def auto_step(state: LineState, image, label, lengths,
-                      spaced_onehot, rng):
-            """Autoencode lesson: recon on the DTW-spaced label."""
+                      spaced_onehot, rng, fg_mask):
+            """Autoencode lesson: recon on the DTW-spaced label.  The
+            pixel L1 weights by the Otsu fg mask when one is provided
+            (hw_with_style_trainer.py:607-611; all-ones otherwise)."""
             image32 = image.astype(jnp.float32)
 
             def loss_fn(main_params):
@@ -261,8 +263,10 @@ class LineGanTrainer:
                     variables, label, lengths, style, spaced_onehot,
                     train=True, rngs={"noise": k1, "dropout": k2})
                 w = min(recon.shape[2], image32.shape[2])
+                m = fg_mask[:, :, :w].astype(jnp.float32)
                 l1 = jnp.mean(jnp.abs(
-                    recon[:, :, :w].astype(jnp.float32) - image32[:, :, :w]))
+                    (recon[:, :, :w].astype(jnp.float32)
+                     - image32[:, :, :w]) * m))
                 # perceptual: frozen AE encoder features on real vs recon
                 fr = ae.apply({"params": state.ae_params},
                               image32[:, :, :w], method=ae.encode)
@@ -287,7 +291,7 @@ class LineGanTrainer:
 
         @jax.jit
         def auto_gen_step(state: LineState, image, label, lengths,
-                          spaced_onehot, rng, adv_mult):
+                          spaced_onehot, rng, adv_mult, fg_mask):
             """'auto-gen' lesson: the reference additionally runs the
             adversarial G loss on the *reconstruction* (fake = recon,
             hw_with_style_trainer.py:792, 818-831), its gradients balanced
@@ -311,8 +315,10 @@ class LineGanTrainer:
             def recon_loss_fn(main_params):
                 recon, style = fwd(main_params)
                 w = min(recon.shape[2], image32.shape[2])
+                m = fg_mask[:, :, :w].astype(jnp.float32)
                 l1 = jnp.mean(jnp.abs(
-                    recon[:, :, :w].astype(jnp.float32) - image32[:, :, :w]))
+                    (recon[:, :, :w].astype(jnp.float32)
+                     - image32[:, :, :w]) * m))
                 fr = ae.apply({"params": state.ae_params},
                               image32[:, :, :w], method=ae.encode)
                 ff = ae.apply({"params": state.ae_params},
@@ -521,13 +527,16 @@ class LineGanTrainer:
             sp = np.zeros((spaced.shape[0], t), spaced.dtype)
             sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
             spaced_onehot = jax.nn.one_hot(jnp.asarray(sp), self.n_class)
+            fg = batch.get("fg_mask")
+            fg = (jnp.asarray(fg) if fg is not None
+                  else jnp.ones_like(image, jnp.float32))
             if "auto-gen" in lesson:
                 state, m, style = self.auto_gen_step(
                     state, image, label, lengths, spaced_onehot, key,
-                    jnp.asarray(self._mults(iteration)[0], jnp.float32))
+                    jnp.asarray(self._mults(iteration)[0], jnp.float32), fg)
             else:
                 state, m, style = self.auto_step(
-                    state, image, label, lengths, spaced_onehot, key)
+                    state, image, label, lengths, spaced_onehot, key, fg)
             metrics.update({k: float(v) for k, v in m.items()})
             self.style_bank.add(np.asarray(style))
         if "gen" in lesson or "disc" in lesson:

@@ -168,3 +168,38 @@ def test_line_trainer_lesson_on_xml_data(tmp_path):
     state, metrics = trainer.train_iteration(state, 0, batch)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_fg_mask_and_augmented_batches(tmp_path):
+    """Otsu fg masks ride in the batch; augmentation perturbs pixels but
+    keeps labels (author_hw_dataset.py:200-229, 291-299)."""
+    import numpy as np
+
+    from affganwriting_tpu.data.line_augment import (
+        foreground_mask,
+        otsu_threshold,
+    )
+
+    # otsu separates a bimodal image
+    img = np.full((32, 64), 0.9, np.float32)
+    img[10:20, 10:50] = 0.1
+    th = otsu_threshold(img)
+    assert 0.1 < th < 0.9
+    mask = foreground_mask(img)
+    assert mask[15, 30] == 1.0        # ink
+    assert mask[2, 2] == 0.0          # background
+    assert mask.sum() > (10 * 40)     # dilation grew the ink region
+
+    xml_dir = _write_fixture(tmp_path, form="a01-000", writer="007")
+    sets = _write_sets(tmp_path, ["a01-000"])
+    idx = AuthorLinesIndex(xml_dir, sets_path=sets)
+    cs = LineCharset()
+    ds = AuthorLineDataset(idx, str(tmp_path / "none"), cs, a_batch_size=2,
+                           img_height=64, label_len=48, with_fg_mask=True,
+                           augment=True)
+    batch = next(ds.batches(batch_authors=1, epoch=0))
+    assert batch["fg_mask"].shape == batch["image"].shape
+    assert set(np.unique(batch["fg_mask"])) <= {0.0, 1.0}
+    # augmentation is seeded: same epoch -> same pixels
+    batch2 = next(ds.batches(batch_authors=1, epoch=0))
+    np.testing.assert_array_equal(batch["image"], batch2["image"])
