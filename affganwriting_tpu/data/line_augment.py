@@ -58,7 +58,17 @@ def _ellipse(size: int = 9) -> np.ndarray:
 
 def foreground_mask(img01: np.ndarray, dilate: int = 9) -> np.ndarray:
     """Ink mask: Otsu binarize -> invert -> 9x9 ellipse dilation
-    (author_hw_dataset.py:224-228).  Returns float32 {0, 1}."""
+    (author_hw_dataset.py:224-228).  Returns float32 {0, 1}.
+
+    Dispatches to the C++ batch kernel (native/preprocess.cpp) when built —
+    on the single-core harness the scipy dilation dominates batch prep.
+    """
+    if dilate == 9:
+        from affganwriting_tpu.utils.native import otsu_fg_mask_native
+
+        out = otsu_fg_mask_native(img01[None])
+        if out is not None:
+            return out[0]
     th = otsu_threshold(img01)
     ink = img01 < th
     if dilate > 1:
@@ -109,6 +119,11 @@ def grid_warp_line(img01: np.ndarray, rng: np.random.Generator,
     gw = max(1, round(w / mesh_interval)) + 1
     dy = rng.normal(0.0, mesh_std, size=(gh, gw)).astype(np.float32)
     dx = rng.normal(0.0, mesh_std, size=(gh, gw)).astype(np.float32)
+    from affganwriting_tpu.utils.native import grid_warp_native
+
+    native_out = grid_warp_native(img01[None], dy[None], dx[None], cval)
+    if native_out is not None:
+        return native_out[0]
     zy = (h - 1) / max(gh - 1, 1)
     zx = (w - 1) / max(gw - 1, 1)
     dy_full = ndimage.zoom(dy, (zy, zx), order=1)[:h, :w]

@@ -115,3 +115,38 @@ if __name__ == "__main__":
         print("built:", build())
     else:
         print("available:", available())
+
+
+def otsu_fg_mask_native(imgs: np.ndarray) -> "np.ndarray | None":
+    """Batched Otsu fg masks ((B, H, W) [0,1] page, ink dark) -> {0,1}.
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.float32)
+    b, h, w = imgs.shape
+    out = np.empty_like(imgs)
+    lib.otsu_fg_mask_batch(_f32p(imgs), ctypes.c_int(b), ctypes.c_int(h),
+                           ctypes.c_int(w), _f32p(out))
+    return out
+
+
+def grid_warp_native(imgs: np.ndarray, dy_nodes: np.ndarray,
+                     dx_nodes: np.ndarray, cval: float = 1.0,
+                     ) -> "np.ndarray | None":
+    """Batched mesh warp: imgs (B, H, W), per-image node offsets
+    (B, GH, GW).  None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.float32)
+    dy_nodes = np.ascontiguousarray(dy_nodes, np.float32)
+    dx_nodes = np.ascontiguousarray(dx_nodes, np.float32)
+    b, h, w = imgs.shape
+    gh, gw = dy_nodes.shape[1:]
+    out = np.empty_like(imgs)
+    lib.grid_warp_batch(_f32p(imgs), ctypes.c_int(b), ctypes.c_int(h),
+                        ctypes.c_int(w), _f32p(dy_nodes), _f32p(dx_nodes),
+                        ctypes.c_int(gh), ctypes.c_int(gw),
+                        ctypes.c_float(cval), _f32p(out))
+    return out

@@ -155,3 +155,119 @@ void affine_warp(const float* in, float* out, int h, int w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Line-pipeline host ops (round 2): Otsu foreground masks + mesh grid warp.
+// Counterparts of line_generation's author_hw_dataset.py:200-229 fg-mask
+// precompute and utils/grid_distortion.py warp, vectorized in C++ because
+// the harness host has a single core (scipy versions dominate batch prep).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Otsu threshold + invert + 9x9 ellipse dilation.  img: [0,1] page
+// (ink dark), out_mask: {0,1} float32, ink==1.
+void otsu_fg_mask(const float* img, int h, int w, float* out_mask) {
+  // 256-bin histogram
+  double hist[256] = {0};
+  const int n = h * w;
+  for (int i = 0; i < n; ++i) {
+    int b = (int)(img[i] * 255.0f + 0.5f);
+    b = std::max(0, std::min(255, b));
+    hist[b] += 1.0;
+  }
+  double total = n, sum_all = 0.0;
+  for (int b = 0; b < 256; ++b) sum_all += hist[b] * ((b + 0.5) / 256.0);
+  double w0 = 0.0, sum0 = 0.0, best = -1.0;
+  int best_bin = 127;
+  for (int b = 0; b < 256; ++b) {
+    w0 += hist[b];
+    sum0 += hist[b] * ((b + 0.5) / 256.0);
+    double w1 = total - w0;
+    if (w0 <= 0 || w1 <= 0) continue;
+    double mu0 = sum0 / w0, mu1 = (sum_all - sum0) / w1;
+    double between = w0 * w1 * (mu0 - mu1) * (mu0 - mu1);
+    if (between > best) { best = between; best_bin = b; }
+  }
+  const float th = (best_bin + 1) / 256.0f;  // upper bin edge
+
+  // binarize (ink = below threshold)
+  std::vector<uint8_t> ink(n);
+  for (int i = 0; i < n; ++i) ink[i] = img[i] < th ? 1 : 0;
+
+  // 9x9 ellipse dilation via precomputed offsets
+  static const int R = 4;
+  int offs[128][2];
+  int n_off = 0;
+  for (int dy = -R; dy <= R; ++dy)
+    for (int dx = -R; dx <= R; ++dx)
+      if (dy * dy + dx * dx <= (R + 0.5) * (R + 0.5)) {
+        offs[n_off][0] = dy; offs[n_off][1] = dx; ++n_off;
+      }
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      float v = 0.0f;
+      for (int k = 0; k < n_off; ++k) {
+        int yy = y + offs[k][0], xx = x + offs[k][1];
+        if (yy >= 0 && yy < h && xx >= 0 && xx < w && ink[yy * w + xx]) {
+          v = 1.0f; break;
+        }
+      }
+      out_mask[y * w + x] = v;
+    }
+}
+
+// Batched variant, OpenMP over the batch.
+void otsu_fg_mask_batch(const float* imgs, int b, int h, int w,
+                        float* out_masks) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < b; ++i)
+    otsu_fg_mask(imgs + (size_t)i * h * w, h, w,
+                 out_masks + (size_t)i * h * w);
+}
+
+// Mesh grid warp (grid_distortion.py semantics): per-node offsets (gh, gw)
+// bilinearly upsampled to (h, w); out(y, x) = img(y + dy, x + dx) bilinear,
+// cval outside.
+void grid_warp(const float* img, int h, int w,
+               const float* dy_nodes, const float* dx_nodes,
+               int gh, int gw, float cval, float* out) {
+  const float sy = (gh > 1) ? (float)(gh - 1) / (h - 1) : 0.0f;
+  const float sx = (gw > 1) ? (float)(gw - 1) / (w - 1) : 0.0f;
+  for (int y = 0; y < h; ++y) {
+    float gy = y * sy;
+    int g0 = (int)gy; int g1 = std::min(gh - 1, g0 + 1);
+    float fy = gy - g0;
+    for (int x = 0; x < w; ++x) {
+      float gx = x * sx;
+      int j0 = (int)gx; int j1 = std::min(gw - 1, j0 + 1);
+      float fx = gx - j0;
+      float dy = dy_nodes[g0 * gw + j0] * (1 - fy) * (1 - fx)
+               + dy_nodes[g0 * gw + j1] * (1 - fy) * fx
+               + dy_nodes[g1 * gw + j0] * fy * (1 - fx)
+               + dy_nodes[g1 * gw + j1] * fy * fx;
+      float dx = dx_nodes[g0 * gw + j0] * (1 - fy) * (1 - fx)
+               + dx_nodes[g0 * gw + j1] * (1 - fy) * fx
+               + dx_nodes[g1 * gw + j0] * fy * (1 - fx)
+               + dx_nodes[g1 * gw + j1] * fy * fx;
+      float ys = y + dy, xs = x + dx;
+      if (ys < 0 || ys > h - 1 || xs < 0 || xs > w - 1) {
+        out[y * w + x] = cval;
+      } else {
+        out[y * w + x] = sample(img, h, w, ys, xs);
+      }
+    }
+  }
+}
+
+void grid_warp_batch(const float* imgs, int b, int h, int w,
+                     const float* dy_nodes, const float* dx_nodes,
+                     int gh, int gw, float cval, float* out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < b; ++i)
+    grid_warp(imgs + (size_t)i * h * w, h, w,
+              dy_nodes + (size_t)i * gh * gw, dx_nodes + (size_t)i * gh * gw,
+              gh, gw, cval, out + (size_t)i * h * w);
+}
+
+}  // extern "C" (line ops)

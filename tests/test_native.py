@@ -65,3 +65,49 @@ def test_native_throughput_sane():
     native.preprocess_words_native(imgs)
     dt = time.perf_counter() - t0
     assert dt < 2.0, f"native batch preprocess too slow: {dt:.2f}s"
+
+
+def test_native_otsu_mask_matches_scipy():
+    import numpy as np
+    import pytest
+
+    from affganwriting_tpu.utils import native
+    from affganwriting_tpu.data import line_augment as la
+
+    if native.load() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    img = np.clip(0.9 + rng.normal(0, 0.02, (48, 96)), 0, 1)
+    img[15:25, 20:70] = np.clip(0.1 + rng.normal(0, 0.02, (10, 50)), 0, 1)
+    img = img.astype(np.float32)
+
+    nat = native.otsu_fg_mask_native(img[None])[0]
+    # scipy path
+    th = la.otsu_threshold(img)
+    from scipy import ndimage
+
+    ref = ndimage.binary_dilation(
+        img < th, structure=la._ellipse(9)).astype(np.float32)
+    # identical up to threshold-bin edge effects: allow tiny disagreement
+    assert (nat != ref).mean() < 0.02
+    assert nat[20, 40] == 1.0 and nat[2, 2] == 0.0
+
+
+def test_native_grid_warp_identity_and_shift():
+    import numpy as np
+    import pytest
+
+    from affganwriting_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 64)).astype(np.float32)
+    zero = np.zeros((1, 4, 6), np.float32)
+    out = native.grid_warp_native(img[None], zero, zero, cval=1.0)[0]
+    np.testing.assert_allclose(out, img, atol=1e-6)
+    # constant +1 row shift: out(y, x) = img(y+1, x)
+    dy = np.ones((1, 4, 6), np.float32)
+    out = native.grid_warp_native(img[None], dy, zero, cval=1.0)[0]
+    np.testing.assert_allclose(out[:-1], img[1:], atol=1e-5)
+    assert np.allclose(out[-1], 1.0)   # out-of-range -> cval
