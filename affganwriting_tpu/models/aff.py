@@ -17,7 +17,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from affganwriting_tpu.ops.adain_pallas import fused_adain
 from affganwriting_tpu.ops.norms import adain, mean_variance_norm
 
 
@@ -82,11 +81,12 @@ class AdaINFusion(nn.Module):
 
     channels: int = 512
     dtype: jnp.dtype = jnp.bfloat16
-    # The fused Pallas AdaIN (ops/adain_pallas.py) is numerically identical
-    # and available behind this flag; measured on v5e the XLA-fused jnp path
-    # is ~5% faster at inference batch 1024 (XLA already folds the IN
-    # epilogue into the surrounding convs), so it stays opt-in for now.
-    use_pallas: bool = False
+    # A fused Pallas AdaIN kernel was tried in round 1 and measured ~5%
+    # SLOWER than the XLA-fused jnp path at inference batch 1024 (the
+    # AdaIN sites are small 8x27 tensors; XLA already folds the epilogue
+    # into the surrounding convs), so it was removed.  The surviving
+    # kernel targets the big upsample-stage instance norms instead
+    # (ops/in_relu_pallas.py).
 
     @nn.compact
     def __call__(self, x, mean, std, skip=None, *, train: bool = False):
@@ -100,7 +100,4 @@ class AdaINFusion(nn.Module):
             x = IAFF(self.channels, dtype=self.dtype, name="iaff")(
                 x, key, train=train
             )
-        if self.use_pallas:
-            return fused_adain(
-                x, mean.astype(jnp.float32), std.astype(jnp.float32))
         return adain(x, mean, std)

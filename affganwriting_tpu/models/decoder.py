@@ -246,6 +246,10 @@ class Decoder(nn.Module):
     out_dim: int = 1
     pad_type: str = "reflect"
     subpixel_upsample: bool = True   # see class docstring
+    # one-pass Pallas IN+ReLU for the spatial-layout upsample stages
+    # (ops/in_relu_pallas.py); opt-in until it measurably beats the
+    # XLA-fused path on the target chip (cli/bench_kernels.py A/B)
+    use_pallas_in: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -278,6 +282,13 @@ class Decoder(nn.Module):
                              name=f"up{i}")(x)
             if phase:
                 x = nn.relu(instance_norm_phase(x))
+            elif (self.use_pallas_in and not train
+                    and x.shape[-1] % 128 == 0):   # fwd-only kernel
+                from affganwriting_tpu.ops.in_relu_pallas import (
+                    instance_norm_relu,
+                )
+
+                x = instance_norm_relu(x)
             else:
                 x = nn.relu(instance_norm(x))
         if self.subpixel_upsample:
