@@ -119,6 +119,93 @@ class TrOCRTeacher:
         return cleaned, np.asarray(confs, np.float32)
 
 
+class FlaxTrOCRTeacher:
+    """TPU-native TrOCR teacher: the framework's own flax ViT/TrOCR stack
+    (models/recognizer/trocr.py) decoded greedily ON DEVICE — no host
+    torch round-trip per batch.  ``ckpt_dir`` imports real HF weights when
+    available; otherwise runs the given arch from random init (useful only
+    for wiring tests, like SelfTeacher without a trained R).
+
+    Confidence = mean max-probability over decode steps, the same statistic
+    the HF wrapper computes (trocr_teacher.py:63-103).  Decoding maps back
+    to the project charset through the char->token table, so banned
+    punctuation never appears.
+    """
+
+    def __init__(self, config: WordGanConfig, ckpt_dir: str | None = None,
+                 arch=None, params=None):
+        from affganwriting_tpu.models.recognizer.trocr import (
+            TrOCRArch,
+            TrOCRCore,
+            default_char_token_table,
+            load_pretrained,
+            preprocess_for_trocr,
+        )
+
+        if ckpt_dir is not None:
+            loaded = load_pretrained(ckpt_dir)
+            if loaded is None:
+                raise FileNotFoundError(ckpt_dir)
+            params, mv, vm = loaded
+            arch = arch or TrOCRArch.base_handwritten()
+        else:
+            arch = arch or TrOCRArch.tiny()
+            mv, vm = default_char_token_table(arch.vocab_tro)
+            if params is None:
+                core0 = TrOCRCore(arch)
+                params = core0.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, arch.image_size, arch.image_size, 3)),
+                    jnp.zeros((1, 2), jnp.int32))["params"]
+        core = TrOCRCore(arch)
+        max_steps = config.max_chars + 1
+        mv_j = jnp.asarray(mv, jnp.int32)
+        vm_j = jnp.asarray(vm)
+
+        @jax.jit
+        def run(params, images):
+            pixels = preprocess_for_trocr(images, arch.image_size)
+            b = images.shape[0]
+            # greedy decode over the 55-vocab: tokens buffer starts at GO
+            tokens = jnp.full((b, max_steps + 1), VOCAB.pad, jnp.int32)
+            tokens = tokens.at[:, 0].set(VOCAB.go)
+
+            def step(carry, t):
+                tokens, conf_sum = carry
+                dec_in = jnp.take(mv_j, tokens, axis=0)     # (B, S)
+                logits = core.apply({"params": params}, pixels, dec_in)
+                step_logits = logits[:, t]                  # (B, Vt)
+                vocab_logits = jnp.take(step_logits, mv_j, axis=-1)
+                vocab_logits = jnp.where(vm_j[None], vocab_logits, -30.0)
+                probs = jax.nn.softmax(vocab_logits, axis=-1)
+                nxt = jnp.argmax(vocab_logits, axis=-1).astype(jnp.int32)
+                tokens = jax.lax.dynamic_update_index_in_dim(
+                    tokens, nxt, t + 1, axis=1)
+                return (tokens, conf_sum + jnp.max(probs, axis=-1)), None
+
+            (tokens, conf_sum), _ = jax.lax.scan(
+                step, (tokens, jnp.zeros((b,), jnp.float32)),
+                jnp.arange(max_steps))
+            return tokens[:, 1:], conf_sum / max_steps
+
+        self._run = run
+        self._params = params
+
+    def predict(self, images):
+        seqs, conf = self._run(self._params, jnp.asarray(images))
+        seqs = np.asarray(seqs)
+        texts = []
+        for row in seqs:
+            # stop at END
+            out = []
+            for tid in row:
+                if int(tid) == VOCAB.end:
+                    break
+                out.append(int(tid))
+            texts.append(VOCAB.decode(out))
+        return texts, np.asarray(conf)
+
+
 def texts_to_labels(texts: list[str], config: WordGanConfig) -> np.ndarray:
     """Pseudo-label texts -> padded label ids, dropping out-of-charset chars
     and clipping to max_chars (helpers.py texts_to_labels semantics)."""

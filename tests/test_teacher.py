@@ -59,3 +59,28 @@ def test_teacher_phase_runs_and_updates_only_rec():
     np.testing.assert_array_equal(
         np.asarray(before_gen), np.asarray(after_gen))
     assert np.isfinite(stats["avg_pseudo_loss"])
+
+
+def test_flax_trocr_teacher_predicts():
+    """On-device TrOCR teacher: greedy decode emits charset texts with
+    confidences in [0, 1]; wiring works weightless at tiny dims."""
+    import dataclasses
+
+    import numpy as np
+
+    from affganwriting_tpu.core.config import VOCAB, default_config
+    from affganwriting_tpu.models.recognizer.trocr import TrOCRArch
+    from affganwriting_tpu.train.teacher import FlaxTrOCRTeacher
+
+    cfg = default_config().replace(
+        compute_dtype="float32", img_height=32, img_width=104, max_chars=6)
+    arch = dataclasses.replace(TrOCRArch.tiny(), image_size=64)
+    teacher = FlaxTrOCRTeacher(cfg, arch=arch)
+    imgs = np.random.default_rng(0).normal(
+        size=(2, 32, 104, 1)).astype(np.float32)
+    texts, conf = teacher.predict(imgs)
+    assert len(texts) == 2 and conf.shape == (2,)
+    assert all(0.0 <= c <= 1.0 for c in conf)
+    letters = set(VOCAB.letters)
+    for t in texts:
+        assert all(c in letters for c in t)   # charset-only, no punctuation
