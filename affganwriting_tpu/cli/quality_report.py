@@ -1,0 +1,114 @@
+"""End-to-end quality report from a trained checkpoint.
+
+One command reproducing the reference's evaluation protocol
+(tt.test_single_writer.4_scenarios.py -> fid.sh + evaluate_cer_generated.py)
+against a checkpoint:
+
+1. generate the requested scenario sweep (``wid-n.GT-pred.png`` files,
+   recognized by R inside the same pipeline);
+2. dump a matched "real" set (the data the model trained on: IAM images
+   when an image root is given, otherwise the synthetic renders);
+3. batched generated-text CER + crop-64 FID (plus per-writer WID) between
+   the two folders;
+4. write a JSON report.
+
+    python -m affganwriting_tpu.cli.quality_report \
+        --ckpt runs/evidence_r2/ckpt --ckpt-name best --out runs/quality_r2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt-name", default="best")
+    p.add_argument("--out", default="runs/quality")
+    p.add_argument("--split", choices=["train", "test"], default="test")
+    p.add_argument("--corpus", choices=["in_vocab", "oov"], default="oov")
+    p.add_argument("--max-writers", type=int, default=8)
+    p.add_argument("--words-per-writer", type=int, default=64)
+    p.add_argument("--image-root", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from affganwriting_tpu.cli import generate_word
+
+    gen_dir = os.path.join(args.out, "generated")
+    real_dir = os.path.join(args.out, "real")
+    os.makedirs(real_dir, exist_ok=True)
+
+    # 1. generation sweep (gen+recognize pipeline, writes GT-pred names)
+    gen_argv = ["--ckpt", args.ckpt, "--ckpt-name", args.ckpt_name,
+                "--out", gen_dir, "--split", args.split,
+                "--corpus", args.corpus,
+                "--max-writers", str(args.max_writers),
+                "--words-per-batch", str(args.words_per_writer),
+                "--seed", str(args.seed)]
+    if args.image_root:
+        gen_argv += ["--image-root", args.image_root]
+    generate_word.main(gen_argv)
+
+    # 2. matched real set: per writer, render/read the same number of its
+    # own GT words (the reference's FID real side is the IAM crops)
+    import numpy as np
+    from PIL import Image
+
+    from affganwriting_tpu.data.iam import (
+        default_reference_paths,
+        parse_groundtruth,
+        writer_label_map,
+    )
+
+    from affganwriting_tpu.core.config import default_config
+    from affganwriting_tpu.data.words import WordStyleDataset
+
+    paths = default_reference_paths()
+    gt_file = paths["train_gt" if args.split == "train" else "test_gt"]
+    by_writer = parse_groundtruth(gt_file)
+    labels = writer_label_map(by_writer)
+    reader_ds = WordStyleDataset(
+        by_writer, labels, default_config(),
+        image_root=args.image_root, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    for wi, (wid, entries) in enumerate(by_writer.items()):
+        if wi >= args.max_writers:
+            break
+        pick = rng.choice(len(entries),
+                          size=min(args.words_per_writer, len(entries)),
+                          replace=False)
+        for n, ei in enumerate(pick):
+            img = reader_ds._read(entries[int(ei)], labels[wid])
+            arr = ((img * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(real_dir, f"{wid}-{n}.real.png"))
+
+    # 3. metrics
+    from affganwriting_tpu.eval.fid import FIDScorer, load_folder_images
+    from affganwriting_tpu.eval.generated import cer_of_folder
+
+    report = {"scenario": f"{args.corpus}/{args.split}",
+              "ckpt": f"{args.ckpt}:{args.ckpt_name}",
+              "cer": cer_of_folder(gen_dir)}
+    scorer = FIDScorer()
+    ga, gw = load_folder_images(gen_dir)
+    ra, rw = load_folder_images(real_dir)
+    report["fid"] = scorer.fid(ga, ra)
+    try:
+        report["wid_fid"] = scorer.fid_per_writer(ga, gw, ra, rw)["wid_fid"]
+    except Exception as e:  # per-writer needs enough samples per writer
+        report["wid_fid_error"] = str(e)
+
+    out_path = os.path.join(args.out, "report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

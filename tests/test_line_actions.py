@@ -102,3 +102,18 @@ def test_mturk_set_and_style_transfer(tmp_path):
         "hello", cs, steps=3)
     assert imgs.shape[0] == 3
     assert np.isfinite(imgs).all()
+
+
+@pytest.mark.slow
+def test_line_repl_headless_script(tmp_path):
+    """The REPL drives every scripted action headlessly (generate.py UX)."""
+    from affganwriting_tpu.cli import line_repl
+
+    line_repl.main([
+        "--out", str(tmp_path),
+        "--script", "a;r;2;hi;A;;q",
+    ])
+    import os
+
+    assert os.path.exists(tmp_path / "interp0.png")
+    assert os.path.exists(tmp_path / "average.png")
