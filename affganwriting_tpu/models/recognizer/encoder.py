@@ -83,6 +83,9 @@ class RecEncoder(nn.Module):
     hidden: int = 512
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.bfloat16
+    # BiGRU compute dtype: f32 by default (training numerics over the
+    # 13-step recurrence); bf16 is available for inference serving
+    rnn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, *, train: bool = False):
@@ -99,7 +102,8 @@ class RecEncoder(nn.Module):
         # (B, H, W, C) -> (B, W, H*C): width is the sequence axis; the
         # torch reshape flattens (height, channel) in that order
         seq = feat.transpose(0, 2, 1, 3).reshape(b, w, h * c)
-        seq = seq.astype(jnp.float32)
+        seq = seq.astype(self.rnn_dtype)
         out, hidden0 = BiGRU(self.hidden, dropout=self.dropout,
-                             name="rnn")(seq, train=train)
+                             dtype=self.rnn_dtype, name="rnn")(
+            seq, train=train)
         return out, hidden0
