@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--words-per-batch", type=int, default=128)
     p.add_argument("--image-root", default=None)
     p.add_argument("--style-encoder", default="resnet50")
+    p.add_argument("--beam", type=int, default=0,
+                   help="recognize generated words with beam search of this "
+                        "width (the reference's beam 3, modules_tro.py:637);"
+                        " 0 = greedy inside the gen+read program")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -83,6 +87,15 @@ def main(argv=None):
     run = make_generate_and_read_fn(cfg)
     gen_vars = variables_of(state.gen)
     rec_vars = variables_of(state.rec)
+    beam_fn = None
+    if args.beam > 0:
+        import jax as _jax
+
+        from affganwriting_tpu.train.state import build_recognizer
+
+        rec = build_recognizer(cfg)
+        beam_fn = _jax.jit(lambda v, im: rec.apply(
+            v, im, beam_size=args.beam, method=rec.beam_search))
 
     writers = args.writers or list(gt.keys())[: args.max_writers]
     os.makedirs(args.out, exist_ok=True)
@@ -104,6 +117,8 @@ def main(argv=None):
             labels = encode_labels(chunk, cfg.output_max_len)
             imgs, pred_ids = run(gen_vars, rec_vars, stack, labels)
             imgs = np.asarray(imgs)
+            if beam_fn is not None:
+                pred_ids, _ = beam_fn(rec_vars, imgs)
             pred_ids = np.asarray(pred_ids)
             for i, w in enumerate(chunk):
                 pred = VOCAB.decode(pred_ids[i]) or "x"
