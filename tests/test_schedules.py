@@ -164,3 +164,48 @@ def test_sigint_saves_checkpoint(tmp_path):
         trainer.fit(5)
     assert calls["n"] == 1
     assert trainer.ckpt.latest_exists()
+
+
+def test_plateau_step_rescales_injected_lr(tmp_path):
+    """_plateau_step edits R's injected learning rate in place
+    (main_run.py:279 equivalence)."""
+    import optax
+
+    from affganwriting_tpu.core.checkpoint import CheckpointManager
+    from affganwriting_tpu.core.config import default_config
+    from affganwriting_tpu.train.loop import EarlyStopping, WordGanTrainer
+    from affganwriting_tpu.train.schedules import PlateauScaler
+
+    import flax.struct
+
+    @flax.struct.dataclass
+    class P:
+        opt_state: object
+
+        def replace(self, **kw):
+            return P(**kw)
+
+    @flax.struct.dataclass
+    class S:
+        rec: object
+
+        def replace(self, **kw):
+            return S(**kw)
+
+    cfg = default_config()
+    opt = optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.lr_rec)
+    params = {"w": jnp.zeros((2,))}
+    opt_state = opt.init(params)
+
+    trainer = WordGanTrainer.__new__(WordGanTrainer)
+    trainer.config = cfg
+    trainer.plateau = PlateauScaler(factor=0.1, patience=0)
+    trainer.state = S(rec=P(opt_state=opt_state))
+
+    trainer._plateau_step(10.0)   # first: best
+    lr0 = float(trainer.state.rec.opt_state.hyperparams["learning_rate"])
+    assert lr0 == pytest.approx(cfg.lr_rec)
+    trainer._plateau_step(11.0)   # worse, patience 0 -> drop 10x
+    lr1 = float(trainer.state.rec.opt_state.hyperparams["learning_rate"])
+    assert lr1 == pytest.approx(cfg.lr_rec * 0.1)
