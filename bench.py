@@ -76,13 +76,38 @@ def _vary_style(args, i):
     return tuple(a)
 
 
-def _run_gen_read(batch: int) -> float:
+def _run_gen_read(batch: int) -> tuple[float, float]:
+    """Returns (streaming rate, per-call rate).
+
+    Streaming = the serving-loop number: N generate+recognize batches
+    dispatched back-to-back (jax async pipelines host dispatch with device
+    execution), results fetched at the end — the reference's offline
+    generation sweep is exactly this shape.  Per-call = median latency
+    with a forced fetch per call (stricter; includes one round-trip)."""
+    import jax.numpy as jnp
+
     from affganwriting_tpu.gen.inference import make_generate_and_read_fn
 
     cfg, gen_vars, rec_vars, style, labels = _setup(batch)
     fn = make_generate_and_read_fn(cfg)
-    return _median_rate(
+
+    percall = _median_rate(
         fn, (gen_vars, rec_vars, style, labels), batch, vary=_vary_style)
+
+    n_stream = 10
+    styles = [jnp.asarray(style + np.float32(i) * 1e-3)
+              for i in range(n_stream)]
+    for s in styles:
+        float(np.asarray(s).ravel()[0])   # materialize inputs
+    # warm the program
+    out = fn(gen_vars, rec_vars, styles[0], labels)
+    float(np.asarray(out[1]).ravel()[0])
+    t0 = time.perf_counter()
+    preds = [fn(gen_vars, rec_vars, s, labels)[1] for s in styles]
+    for p in preds:
+        float(np.asarray(p).ravel()[0])   # drain the stream
+    dt = time.perf_counter() - t0
+    return n_stream * batch / dt, percall
 
 
 def _run_gen_only(batch: int) -> float:
@@ -156,11 +181,13 @@ def main():
     else:
         batches = [2048, 1024, 256]
 
-    gen_read, b_used = _try(_run_gen_read, batches)
-    if gen_read is None:
+    res, b_used = _try(_run_gen_read, batches)
+    if res is None:
         raise SystemExit("all gen+read batch sizes failed")
+    gen_read, percall = res
 
-    extra = {"gen_read_batch": b_used}
+    extra = {"gen_read_batch": b_used,
+             "gen_read_percall_imgs_per_sec": round(percall, 1)}
     if "--quick" not in sys.argv:
         gen_only, b_g = _try(_run_gen_only, batches)
         if gen_only is not None:
