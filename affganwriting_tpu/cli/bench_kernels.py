@@ -39,9 +39,23 @@ def main(argv=None):
     from affganwriting_tpu.ops.in_relu_pallas import instance_norm_relu
     from affganwriting_tpu.ops.norms import instance_norm
 
-    xla_fn = jax.jit(lambda x: jnp.sum(
-        jax.nn.relu(instance_norm(x))))
-    pl_fn = jax.jit(lambda x: jnp.sum(instance_norm_relu(x)))
+    # chain the op inside ONE program so per-call dispatch/sync overhead
+    # (tens of ms on the tunneled runtime) amortizes away; the +1e-3
+    # between applications defeats CSE
+    chain = 50
+
+    def chained(op):
+        def run(x):
+            def body(h, _):
+                return op(h) + jnp.asarray(1e-3, h.dtype), None
+
+            h, _ = jax.lax.scan(body, x, None, length=chain)
+            return jnp.sum(h)
+
+        return jax.jit(run)
+
+    xla_fn = chained(lambda h: jax.nn.relu(instance_norm(h)))
+    pl_fn = chained(lambda h: instance_norm_relu(h))
 
     b = args.batch
     # the decoder's spatial-layout upsample stages at 64x216 words
@@ -49,13 +63,14 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     for shape in shapes:
         x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
-        t_xla = _time(xla_fn, x, iters=args.iters)
-        t_pl = _time(pl_fn, x, iters=args.iters)
+        t_xla = _time(xla_fn, x, iters=args.iters) / chain
+        t_pl = _time(pl_fn, x, iters=args.iters) / chain
         print(json.dumps({
             "kernel": "in_relu",
             "shape": list(shape),
-            "xla_ms": round(t_xla * 1e3, 2),
-            "pallas_ms": round(t_pl * 1e3, 2),
+            "chain": chain,
+            "xla_ms": round(t_xla * 1e3, 3),
+            "pallas_ms": round(t_pl * 1e3, 3),
             "speedup": round(t_xla / t_pl, 3),
         }))
 
