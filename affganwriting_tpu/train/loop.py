@@ -93,22 +93,33 @@ class WordGanTrainer:
         cer_tr = CERAccumulator()
         cer_te = CERAccumulator()
         cer_te2 = CERAccumulator()
-        sums: dict[str, float] = {}
         n = 0
         t0 = time.time()
+        # Dispatch the whole epoch without synchronizing: metrics/logits
+        # stay device arrays until the end, so steps pipeline behind host
+        # batch prep instead of paying a device round-trip per step (the
+        # reference syncs per loss print; over a tunneled runtime that
+        # round-trip can dominate the step)
+        pending: list[tuple[dict, dict, dict]] = []
+        gsteps = getattr(self, "_gsteps", 0)
         for batch in self.train_data.batches(epoch=epoch):
             self.rng, step_key = jax.random.split(self.rng)
             self.state, metrics, extras = self.train_step(
                 self.state, batch, step_key)
+            pending.append((metrics, extras, batch))
+            n += 1
+            gsteps += 1
+            if gsteps % self.save_latest_every_steps == 0:
+                self.ckpt.save_latest(self.state, self.config)
+        self._gsteps = gsteps
+        sums: dict[str, float] = {}
+        for metrics, extras, batch in pending:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
             # CER accumulators on host, matching network_tro.py:46, 94-95
             cer_tr.add_logits(extras["rec_logits_tr"], batch["label_ch0"])
             cer_te.add_logits(extras["logits_xt"], batch["label_xt"])
             cer_te2.add_logits(extras["logits_swap"], batch["label_xt_swap"])
-            if int(self.state.step) % self.save_latest_every_steps == 0:
-                self.ckpt.save_latest(self.state, self.config)
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["cer_tr"] = cer_tr.value()
         out["cer_te"] = cer_te.value()
