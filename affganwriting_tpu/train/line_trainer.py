@@ -217,15 +217,38 @@ class LineGanTrainer:
         return np.asarray(logp)
 
     def spaced_label(self, state: LineState, batch: dict) -> np.ndarray:
-        """DTW-aligned spaced label (B, T) via the frozen recognizer."""
-        logp = self.recognize(state, batch["image"])       # (B, T, K)
-        pred = np.exp(logp).transpose(1, 0, 2)             # (T, B, K)
-        label_tb = np.asarray(batch["label"]).T            # (N, B)
-        keep = label_tb.sum(1) > 0
-        label_tb = label_tb[: max(1, int(np.max(
-            np.asarray(batch["label_lengths"]))))]
-        spaced = correct_pred(pred, label_tb)              # (T, B)
-        return spaced.T                                    # (B, T)
+        """DTW-aligned spaced label (B, T) via the frozen recognizer.
+
+        Cached per instance (the reference's spaced-label cache,
+        author_hw_dataset.py:251-282): the HWR is frozen, so a line's
+        alignment never changes — repeat visits skip both the recognizer
+        forward and the host DTW.  Keyed by the image bytes' hash.
+        """
+        imgs = np.asarray(batch["image"])
+        keys = [hash(imgs[i].tobytes()) for i in range(imgs.shape[0])]
+        cache = getattr(self, "_spaced_cache", None)
+        if cache is None:
+            cache = self._spaced_cache = {}
+        if any(k not in cache for k in keys):
+            # recompute the whole (static-shape) batch: avoids per-subset
+            # recompiles of the jit'd recognizer
+            logp = self.recognize(state, imgs)             # (B, T, K)
+            pred = np.exp(logp).transpose(1, 0, 2)         # (T, B, K)
+            label_tb = np.asarray(batch["label"]).T
+            label_tb = label_tb[: max(1, int(np.max(
+                np.asarray(batch["label_lengths"]))))]
+            spaced = correct_pred(pred, label_tb).T        # (B, T)
+            for i, k in enumerate(keys):
+                cache[k] = spaced[i]
+            if len(cache) > 4096:   # bound the cache
+                for k in list(cache)[:1024]:
+                    del cache[k]
+        t = max(cache[k].shape[0] for k in keys)
+        out = np.zeros((imgs.shape[0], t), np.int32)
+        for i, k in enumerate(keys):
+            row = cache[k]
+            out[i, : row.shape[0]] = row
+        return out
 
     # ----- jit lesson steps -----
     def _build_steps(self):
