@@ -32,3 +32,13 @@ def test_cli_help_exits_cleanly():
     with pytest.raises(SystemExit) as e:
         tw.main(["--help"])
     assert e.value.code == 0
+
+
+def test_emit_jobs_writes_shards(tmp_path):
+    from affganwriting_tpu.cli import emit_jobs
+
+    scripts = emit_jobs.main([
+        "--ckpt", "x/ckpt", "--shard", "2", "--out", str(tmp_path)])
+    assert len(scripts) == 2
+    body = open(scripts[0]).read()
+    assert "generate_word" in body and "--writers" in body
