@@ -21,7 +21,9 @@ def main(argv=None):
                    choices=("seq2seq", "trocr"),
                    help="R: project seq2seq or the TrOCR drop-in "
                         "(reference main_runtransformer.py)")
-    p.add_argument("--trocr-preset", default="tiny", choices=("tiny", "base"))
+    p.add_argument("--trocr-preset", default=None, choices=("tiny", "base"),
+                   help="arch preset; default tiny, forced to base when "
+                        "--trocr-ckpt is given (checkpoint dims are base)")
     p.add_argument("--trocr-ckpt", default=None,
                    help="local HF trocr checkpoint dir to import weights")
     p.add_argument("--oov", action="store_true", default=True)
@@ -38,6 +40,10 @@ def main(argv=None):
                    help="ReduceLROnPlateau on R's lr (main_run.py:279)")
     p.add_argument("--max-writers", type=int, default=None,
                    help="restrict to N writers (debug)")
+    p.add_argument("--mesh", default="none",
+                   help="device mesh: 'none' (single chip), 'auto' (all "
+                        "chips on 'data'), 'N' (N-way DP) or 'NxM' "
+                        "(DP x tensor-parallel)")
     args = p.parse_args(argv)
 
     from affganwriting_tpu.core.config import default_config
@@ -50,6 +56,32 @@ def main(argv=None):
     from affganwriting_tpu.data.words import WordStyleDataset
     from affganwriting_tpu.train.loop import WordGanTrainer
 
+    # Pretrained-TrOCR import happens BEFORE the trainer exists: the real
+    # tokenizer's char->token table must reach the recognizer the train
+    # step is built with (reference trocr_recognizer.py:143-160), and the
+    # checkpoint's dims are base — a tiny arch would swap in a mismatched
+    # param tree that only errors at first apply.
+    trocr_params = None
+    trocr_map_vec: tuple = ()
+    trocr_valid_mask: tuple = ()
+    trocr_preset = args.trocr_preset or "tiny"
+    if args.trocr_ckpt:
+        if args.trocr_preset == "tiny":
+            raise SystemExit(
+                "--trocr-ckpt holds base-handwritten dims; it cannot load "
+                "into --trocr-preset tiny")
+        trocr_preset = "base"
+        from affganwriting_tpu.models.recognizer.trocr import load_pretrained
+
+        loaded = load_pretrained(args.trocr_ckpt)
+        if loaded is None:
+            raise SystemExit(
+                f"--trocr-ckpt {args.trocr_ckpt}: not a readable local HF "
+                "checkpoint directory")
+        trocr_params, mv, vm = loaded
+        trocr_map_vec = tuple(int(x) for x in mv)
+        trocr_valid_mask = tuple(bool(x) for x in vm)
+
     cfg = default_config().replace(
         batch_size=args.batch_size,
         style_encoder=args.style_encoder,
@@ -59,7 +91,9 @@ def main(argv=None):
         # the TrOCR drop-in stays frozen (grads reach G only), matching
         # the reference's intent (trocr_recognizer.py:119-121)
         rec_frozen=args.recognizer == "trocr",
-        trocr_preset=args.trocr_preset,
+        trocr_preset=trocr_preset,
+        trocr_map_vec=trocr_map_vec,
+        trocr_valid_mask=trocr_valid_mask,
     )
     paths = default_reference_paths()
     tr = parse_groundtruth(paths["train_gt"])
@@ -76,21 +110,18 @@ def main(argv=None):
         te, writer_label_map(te), cfg, corpus=corpus,
         image_root=args.image_root, seed=args.seed + 1)
 
+    from affganwriting_tpu.parallel.mesh import parse_mesh_spec
+
+    mesh = parse_mesh_spec(args.mesh)
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
     trainer = WordGanTrainer(
         cfg, train_ds, test_ds, logdir=args.logdir, seed=args.seed,
         eval_every=args.eval_every, save_every=args.save_every,
-        patience=args.patience, rec_plateau=args.rec_plateau)
-    if args.trocr_ckpt:
-        from affganwriting_tpu.models.recognizer.trocr import load_pretrained
-
-        loaded = load_pretrained(args.trocr_ckpt)
-        if loaded is None:
-            raise SystemExit(
-                f"--trocr-ckpt {args.trocr_ckpt}: not a readable local HF "
-                "checkpoint directory")
-        params, _, _ = loaded
+        patience=args.patience, rec_plateau=args.rec_plateau, mesh=mesh)
+    if trocr_params is not None:
         trainer.state = trainer.state.replace(
-            rec=trainer.state.rec.replace(params={"core": params}))
+            rec=trainer.state.rec.replace(params={"core": trocr_params}))
     trainer.fit(args.epochs)
 
 

@@ -87,12 +87,22 @@ class WordGanConfig:
     rec_frozen: bool = False       # freeze R's params (TrOCR drop-in keeps
     #                                TrOCR frozen; grads still reach G)
     trocr_preset: str = "tiny"     # "tiny" | "base" arch when recognizer=trocr
+    # char->token table from the real tokenizer when importing pretrained
+    # TrOCR weights (reference trocr_recognizer.py:143-160); empty = the
+    # deterministic default table (ids 10+ord(ch))
+    trocr_map_vec: tuple = ()      # static (55,) char->token ids
+    trocr_valid_mask: tuple = ()   # static (55,) bool
     rec_hidden: int = 512
     rec_embed: int = 60
     attn_filters: int = 128        # K, recognizer location attention
     attn_kernel: int = 7           # R
     label_smoothing: float = 0.4
     # --- training ---
+    optimizer: str = "adam"        # "adam" (reference main_runold.py:244-247)
+    #                                | "sgd" (plain p-lr*g; used by the DP
+    #                                equivalence test, where Adam's
+    #                                sign-normalization of numerically-zero
+    #                                grads hides/injects float noise)
     batch_size: int = 8
     lr_dis: float = 1e-4
     lr_gen: float = 1e-4
@@ -125,7 +135,10 @@ class WordGanConfig:
     def from_json(cls, s: str) -> "WordGanConfig":
         raw: dict[str, Any] = json.loads(s)
         fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in raw.items() if k in fields})
+        # JSON has no tuples; tuple-typed fields (the static TrOCR token
+        # tables) must come back hashable for flax module attributes
+        return cls(**{k: tuple(v) if isinstance(v, list) else v
+                      for k, v in raw.items() if k in fields})
 
     def replace(self, **kw) -> "WordGanConfig":
         return dataclasses.replace(self, **kw)

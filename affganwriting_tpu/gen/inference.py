@@ -71,9 +71,15 @@ def make_generate_and_read_fn(config: WordGanConfig):
 
     @jax.jit
     def run_gen(gen_variables, style_stack, labels):
-        # batch-1 pyramid broadcasts through mix/iAFF — no tiling
         pyramid = gen.apply(
             gen_variables, style_stack, train=False, method=gen.encode_style)
+        b = labels.shape[0]
+        s = style_stack.shape[0]
+        if s != b and s != 1:
+            # multi-writer stacks: tile so writer i%S styles word i
+            # (batch-1 pyramids broadcast through mix/iAFF — no tiling)
+            reps = b // s
+            pyramid = [jnp.repeat(tap, reps, axis=0) for tap in pyramid]
         return gen.apply(
             gen_variables, pyramid, labels, train=False, method=gen.generate)
 

@@ -66,7 +66,10 @@ def build_recognizer(config: WordGanConfig, dtype=None):
 
         arch = (TrOCRArch.base_handwritten()
                 if config.trocr_preset == "base" else TrOCRArch.tiny())
-        return TrOCRRecognizer(arch, output_max_len=config.output_max_len)
+        return TrOCRRecognizer(
+            arch, output_max_len=config.output_max_len,
+            map_vec=tuple(config.trocr_map_vec),
+            valid_mask=tuple(config.trocr_valid_mask))
     raise ValueError(f"unknown recognizer {config.recognizer!r}")
 
 
@@ -75,13 +78,14 @@ def make_optimizers(config: WordGanConfig):
     # (TrOCR drop-in) gets a no-op optimizer; otherwise R's lr is injected
     # as state so ReduceLROnPlateau (main_run.py:279) can rescale it
     # host-side between jitted steps.
+    base = optax.adam if config.optimizer == "adam" else optax.sgd
     rec_opt = (optax.set_to_zero() if config.rec_frozen
-               else optax.inject_hyperparams(optax.adam)(
+               else optax.inject_hyperparams(base)(
                    learning_rate=config.lr_rec))
     return {
-        "gen": optax.adam(config.lr_gen),
-        "dis": optax.adam(config.lr_dis),
-        "cla": optax.adam(config.lr_cla),
+        "gen": base(config.lr_gen),
+        "dis": base(config.lr_dis),
+        "cla": base(config.lr_cla),
         "rec": rec_opt,
     }
 

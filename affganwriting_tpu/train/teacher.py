@@ -171,7 +171,7 @@ class FlaxTrOCRTeacher:
             tokens = tokens.at[:, 0].set(VOCAB.go)
 
             def step(carry, t):
-                tokens, conf_sum = carry
+                tokens, conf_sum, n_alive, alive = carry
                 dec_in = jnp.take(mv_j, tokens, axis=0)     # (B, S)
                 logits = core.apply({"params": params}, pixels, dec_in)
                 step_logits = logits[:, t]                  # (B, Vt)
@@ -181,12 +181,21 @@ class FlaxTrOCRTeacher:
                 nxt = jnp.argmax(vocab_logits, axis=-1).astype(jnp.int32)
                 tokens = jax.lax.dynamic_update_index_in_dim(
                     tokens, nxt, t + 1, axis=1)
-                return (tokens, conf_sum + jnp.max(probs, axis=-1)), None
+                # confidence = mean max-prob over EMITTED tokens only (the
+                # HF wrapper statistic, trocr_teacher.py:63-103): the step
+                # that emits END still counts, steps after it don't —
+                # otherwise post-END steps dilute short words' confidence
+                conf_sum = conf_sum + alive * jnp.max(probs, axis=-1)
+                n_alive = n_alive + alive
+                alive = alive * (nxt != VOCAB.end).astype(jnp.float32)
+                return (tokens, conf_sum, n_alive, alive), None
 
-            (tokens, conf_sum), _ = jax.lax.scan(
-                step, (tokens, jnp.zeros((b,), jnp.float32)),
+            (tokens, conf_sum, n_alive, _), _ = jax.lax.scan(
+                step,
+                (tokens, jnp.zeros((b,), jnp.float32),
+                 jnp.zeros((b,), jnp.float32), jnp.ones((b,), jnp.float32)),
                 jnp.arange(max_steps))
-            return tokens[:, 1:], conf_sum / max_steps
+            return tokens[:, 1:], conf_sum / jnp.maximum(n_alive, 1.0)
 
         self._run = run
         self._params = params
