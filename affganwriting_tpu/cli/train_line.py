@@ -4,6 +4,12 @@ Mirrors line_generation/train.py (``python train.py -c config.json``) with a
 flag surface over the active config's settings; the curriculum is the
 reference's count/gen/auto/disc rotation (configs/cf_IAMslant_...sMG.json).
 Synthetic line data is used when no image root is given.
+
+Runtime (reference base/base_trainer.py): latest checkpoint every
+``--save-latest-every`` iterations, periodic keeps every ``--save-every``,
+validation with monitor-best every ``--val-every``, SWA past
+``--swa-start``, full resume (model + both optimizers + iteration + SWA)
+from the latest checkpoint unless ``--no-resume``.
 """
 
 from __future__ import annotations
@@ -29,33 +35,78 @@ def main(argv=None):
                         "fallback per line when absent")
     p.add_argument("--split", default="train",
                    choices=("train", "valid", "test"))
+    p.add_argument("--mesh", default="none",
+                   help="device mesh: 'none', 'auto', 'N' (N-way DP); the "
+                        "effective batch (batch-authors x a-batch-size) "
+                        "must divide by N")
+    p.add_argument("--save-every", type=int, default=2000,
+                   help="periodic checkpoint cadence (save_step)")
+    p.add_argument("--save-latest-every", type=int, default=250,
+                   help="latest-checkpoint cadence (save_step_minor: a "
+                        "crash loses at most this many iterations)")
+    p.add_argument("--val-every", type=int, default=1000,
+                   help="validation cadence (val_step); 0 disables")
+    p.add_argument("--val-batches", type=int, default=4)
+    p.add_argument("--swa-start", type=int, default=None,
+                   help="iteration to start SWA weight averaging")
+    p.add_argument("--no-resume", dest="resume", action="store_false",
+                   default=True,
+                   help="ignore an existing latest checkpoint")
     args = p.parse_args(argv)
 
     import jax
 
+    from affganwriting_tpu.core.checkpoint import (
+        LineCheckpointManager,
+        restore_line_trainer,
+    )
     from affganwriting_tpu.data.lines import LineCharset, LineDataset
+    from affganwriting_tpu.parallel.mesh import parse_mesh_spec
     from affganwriting_tpu.train.line_trainer import LineGanTrainer
     from affganwriting_tpu.utils.logging import MetricsLogger
 
     charset = LineCharset()
-    if args.xml_root:
-        from affganwriting_tpu.data.parse_iam import (
-            AuthorLineDataset,
-            AuthorLinesIndex,
-        )
 
-        index = AuthorLinesIndex(args.xml_root, split=args.split)
-        ds = AuthorLineDataset(
-            index, args.image_root or args.xml_root, charset,
-            a_batch_size=args.a_batch_size, seed=args.seed)
-    else:
-        ds = LineDataset(charset, a_batch_size=args.a_batch_size,
-                         width=args.width, seed=args.seed)
-    trainer = LineGanTrainer(
-        n_class=charset.n_class, max_gen_length=args.max_gen_length,
-        lr=args.lr, seed=args.seed)
+    def make_dataset(split: str, seed: int):
+        if args.xml_root:
+            from affganwriting_tpu.data.parse_iam import (
+                AuthorLineDataset,
+                AuthorLinesIndex,
+            )
+
+            index = AuthorLinesIndex(args.xml_root, split=split)
+            return AuthorLineDataset(
+                index, args.image_root or args.xml_root, charset,
+                a_batch_size=args.a_batch_size, seed=seed)
+        return LineDataset(charset, a_batch_size=args.a_batch_size,
+                           width=args.width, seed=seed)
+
+    ds = make_dataset(args.split, args.seed)
+    val_ds = make_dataset("valid" if args.xml_root else args.split,
+                          args.seed + 1)
+
+    mesh = parse_mesh_spec(args.mesh)
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
+    ckpt_dir = f"{args.logdir}/ckpt"
+    ckpt = LineCheckpointManager(ckpt_dir)
     first = next(ds.batches(batch_authors=args.batch_authors))
-    state = trainer.init_state(first, jax.random.key(args.seed))
+    swa_state = None
+    if args.resume and ckpt.latest_exists():
+        trainer, payload = restore_line_trainer(
+            ckpt_dir, first, name="latest", mesh=mesh)
+        state = payload["state"]
+        swa_state = payload["swa"]
+        if int(swa_state["count"]) == 0:
+            swa_state = None   # placeholder slot, SWA never started
+        print(f"resumed from latest at iteration {int(state.step)}")
+    else:
+        trainer = LineGanTrainer(
+            n_class=charset.n_class, max_gen_length=args.max_gen_length,
+            lr=args.lr, seed=args.seed, iterations=args.iterations,
+            mesh=mesh)
+        state = trainer.init_state(first, jax.random.key(args.seed))
     logger = MetricsLogger(args.logdir)
 
     def stream():
@@ -64,7 +115,16 @@ def main(argv=None):
             yield from ds.batches(args.batch_authors, epoch=epoch)
             epoch += 1
 
-    trainer.fit(state, stream(), args.iterations, logger=logger)
+    def val_batches():
+        return val_ds.batches(args.batch_authors, epoch=0, )
+
+    trainer.fit(
+        state, stream(), args.iterations, logger=logger, ckpt=ckpt,
+        save_every=args.save_every,
+        save_latest_every=args.save_latest_every,
+        val_batches_fn=val_batches if args.val_every else None,
+        val_every=args.val_every, val_max_batches=args.val_batches,
+        swa_start=args.swa_start, swa_state=swa_state)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,26 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def parse_mesh_spec(spec: str, devices=None) -> Mesh | None:
+    """CLI mesh spec -> Mesh.
+
+    ``'none'``/'' -> None (single-device), ``'auto'`` -> all devices on
+    'data', ``'8'`` -> data=8, ``'4x2'`` -> data=4 x model=2.
+    """
+    if not spec or spec == "none":
+        return None
+    if devices is None:
+        devices = jax.devices()
+    if spec == "auto":
+        return make_mesh(devices, data=len(devices), model=1)
+    if "x" in spec:
+        d, m = spec.split("x")
+        data, model = int(d), int(m)
+    else:
+        data, model = int(spec), 1
+    return make_mesh(devices[: data * model], data=data, model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -114,3 +134,12 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.tree.map(
         jax.device_put, params, param_shardings(mesh, params)
     )
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Place a whole trainer state pytree on the mesh: TP rules apply to
+    any leaf whose path matches (params AND the matching optimizer moments
+    — ``_spec_for`` searches the path suffix, so ``mu/text_encoder/fc1/
+    kernel`` shards like the param it tracks); everything else replicates.
+    """
+    return shard_params(mesh, state)

@@ -136,7 +136,22 @@ class LineGanTrainer:
                  balance_loss: bool = True, hwr_norm: str = "batch",
                  lr_schedule: str | bool = "none", iterations: int = 240_000,
                  slow_param_names: tuple = (), freeze_param_names: tuple = (),
-                 schedule_kw: Optional[dict] = None):
+                 schedule_kw: Optional[dict] = None, mesh=None):
+        # Multi-chip DP: params replicate over the mesh, every lesson batch
+        # shards its leading axis over 'data', GSPMD psums the gradients —
+        # the same jit lesson steps serve 1 and N chips (SURVEY.md §5.8)
+        self.mesh = mesh
+        # constructor config, embedded in checkpoints so generate/REPL/app
+        # can rebuild the exact model from a checkpoint alone (the
+        # reference relies on this: generate.py:88-97, app.py:65-77)
+        self.config_dict = dict(
+            n_class=n_class, style_dim=style_dim,
+            max_gen_length=max_gen_length, lr=lr, seed=seed,
+            balance_loss=balance_loss, hwr_norm=hwr_norm,
+            lr_schedule=lr_schedule, iterations=iterations,
+            slow_param_names=list(slow_param_names),
+            freeze_param_names=list(freeze_param_names),
+            schedule_kw=dict(schedule_kw or {}))
         self.model = HWWithStyle(
             n_class=n_class, style_dim=style_dim,
             max_gen_length=max_gen_length, hwr_norm=hwr_norm)
@@ -188,7 +203,7 @@ class LineGanTrainer:
         self._build_steps()
         disc_vars = jax.jit(self.disc.init)(k1, img)
         ae_vars = jax.jit(self.ae.init)(k1, img)
-        return LineState(
+        state = LineState(
             step=jnp.zeros((), jnp.int32),
             main_params=main,
             hwr_params=hwr,
@@ -199,8 +214,23 @@ class LineGanTrainer:
             main_opt=self.main_opt.init(main),
             disc_opt=self.disc_opt.init(disc_vars["params"]),
         )
+        if self.mesh is not None:
+            from affganwriting_tpu.parallel.mesh import shard_state
+
+            state = shard_state(self.mesh, state)
+        return state
 
     # ----- helpers -----
+    def _put(self, x):
+        """Batch-leading array -> device, sharded over 'data' when a mesh
+        is active (leading dim must divide by the mesh's data axis)."""
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            from affganwriting_tpu.parallel.mesh import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(self.mesh))
+        return x
+
     def _variables(self, state: LineState):
         v = {"params": {**state.main_params, "hwr": state.hwr_params}}
         if state.model_stats:
@@ -266,40 +296,68 @@ class LineGanTrainer:
                 rngs={"noise": k1, "spacing": k2, "dropout": k3})
             return img, spaced, counts
 
+        def recon_losses(main_params, state, image, label, lengths,
+                         spaced_onehot, rng, fg_mask):
+            """Autoencode losses (trainer:542-621, 735-758): fg-masked
+            pixel L1 + frozen-AE perceptual distance on the DTW-spaced
+            reconstruction.  Shared by the auto/auto-gen update steps and
+            the no-update validation step."""
+            image32 = image.astype(jnp.float32)
+            variables = {"params": {**main_params, "hwr": state.hwr_params}}
+            if state.model_stats:
+                variables["batch_stats"] = state.model_stats
+            style, _ = model.apply(
+                variables, image, method=model.extract_style)
+            k1, k2 = jax.random.split(rng)
+            recon, _, _ = model.apply(
+                variables, label, lengths, style, spaced_onehot,
+                train=True, rngs={"noise": k1, "dropout": k2})
+            w = min(recon.shape[2], image32.shape[2])
+            m = fg_mask[:, :, :w].astype(jnp.float32)
+            l1 = jnp.mean(jnp.abs(
+                (recon[:, :, :w].astype(jnp.float32)
+                 - image32[:, :, :w]) * m))
+            fr = ae.apply({"params": state.ae_params},
+                          image32[:, :, :w], method=ae.encode)
+            ff = ae.apply({"params": state.ae_params},
+                          recon[:, :, :w].astype(jnp.float32),
+                          method=ae.encode)
+            perc = sum(jnp.mean(jnp.abs(a.astype(jnp.float32)
+                                        - b.astype(jnp.float32)))
+                       for a, b in zip(fr, ff)) / len(fr)
+            return l1 + perc, (l1, perc, style, recon)
+
+        def count_mse(main_params, state, image, label, lengths,
+                      gt_counts, rng):
+            """Spacer MSE vs DTW-derived counts (trainer:626-729)."""
+            variables = {"params": {**main_params, "hwr": state.hwr_params}}
+            if state.model_stats:
+                variables["batch_stats"] = state.model_stats
+            style, _ = model.apply(
+                variables, image, method=model.extract_style)
+            onehot = jax.nn.one_hot(label, n_class)
+            counts = model.apply(
+                variables, onehot, style,
+                method=lambda m, o, s: m.spacer(o, s, train=True),
+                rngs={"dropout": rng})
+            mask = (jnp.arange(label.shape[1])[None, :]
+                    < lengths[:, None]).astype(jnp.float32)
+            return jnp.sum(
+                mask[..., None] * (counts - gt_counts) ** 2
+            ) / jnp.maximum(jnp.sum(mask) * 2, 1.0)
+
         @jax.jit
         def auto_step(state: LineState, image, label, lengths,
                       spaced_onehot, rng, fg_mask):
             """Autoencode lesson: recon on the DTW-spaced label.  The
             pixel L1 weights by the Otsu fg mask when one is provided
             (hw_with_style_trainer.py:607-611; all-ones otherwise)."""
-            image32 = image.astype(jnp.float32)
 
             def loss_fn(main_params):
-                variables = {"params": {**main_params,
-                                        "hwr": state.hwr_params}}
-                if state.model_stats:
-                    variables["batch_stats"] = state.model_stats
-                style, _ = model.apply(
-                    variables, image, method=model.extract_style)
-                k1, k2 = jax.random.split(rng)
-                recon, _, _ = model.apply(
-                    variables, label, lengths, style, spaced_onehot,
-                    train=True, rngs={"noise": k1, "dropout": k2})
-                w = min(recon.shape[2], image32.shape[2])
-                m = fg_mask[:, :, :w].astype(jnp.float32)
-                l1 = jnp.mean(jnp.abs(
-                    (recon[:, :, :w].astype(jnp.float32)
-                     - image32[:, :, :w]) * m))
-                # perceptual: frozen AE encoder features on real vs recon
-                fr = ae.apply({"params": state.ae_params},
-                              image32[:, :, :w], method=ae.encode)
-                ff = ae.apply({"params": state.ae_params},
-                              recon[:, :, :w].astype(jnp.float32),
-                              method=ae.encode)
-                perc = sum(jnp.mean(jnp.abs(a.astype(jnp.float32)
-                                            - b.astype(jnp.float32)))
-                           for a, b in zip(fr, ff)) / len(fr)
-                return l1 + perc, (l1, perc, style)
+                loss, (l1, perc, style, _) = recon_losses(
+                    main_params, state, image, label, lengths,
+                    spaced_onehot, rng, fg_mask)
+                return loss, (l1, perc, style)
 
             (loss, (l1, perc, style)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.main_params)
@@ -320,40 +378,17 @@ class LineGanTrainer:
             hw_with_style_trainer.py:792, 818-831), its gradients balanced
             into the recon gradients as the scheduled autoGen slot
             (:288-293, 309-386)."""
-            image32 = image.astype(jnp.float32)
-
-            def fwd(main_params):
-                variables = {"params": {**main_params,
-                                        "hwr": state.hwr_params}}
-                if state.model_stats:
-                    variables["batch_stats"] = state.model_stats
-                style, _ = model.apply(
-                    variables, image, method=model.extract_style)
-                k1, k2 = jax.random.split(rng)
-                recon, _, _ = model.apply(
-                    variables, label, lengths, style, spaced_onehot,
-                    train=True, rngs={"noise": k1, "dropout": k2})
-                return recon, style
 
             def recon_loss_fn(main_params):
-                recon, style = fwd(main_params)
-                w = min(recon.shape[2], image32.shape[2])
-                m = fg_mask[:, :, :w].astype(jnp.float32)
-                l1 = jnp.mean(jnp.abs(
-                    (recon[:, :, :w].astype(jnp.float32)
-                     - image32[:, :, :w]) * m))
-                fr = ae.apply({"params": state.ae_params},
-                              image32[:, :, :w], method=ae.encode)
-                ff = ae.apply({"params": state.ae_params},
-                              recon[:, :, :w].astype(jnp.float32),
-                              method=ae.encode)
-                perc = sum(jnp.mean(jnp.abs(a.astype(jnp.float32)
-                                            - b.astype(jnp.float32)))
-                           for a, b in zip(fr, ff)) / len(fr)
-                return l1 + perc, (l1, perc, style)
+                loss, (l1, perc, style, _) = recon_losses(
+                    main_params, state, image, label, lengths,
+                    spaced_onehot, rng, fg_mask)
+                return loss, (l1, perc, style)
 
             def adv_loss_fn(main_params):
-                recon, _ = fwd(main_params)
+                _, (_, _, _, recon) = recon_losses(
+                    main_params, state, image, label, lengths,
+                    spaced_onehot, rng, fg_mask)
                 heads = disc.apply(
                     {"params": state.disc_params,
                      "batch_stats": state.disc_stats}, recon)
@@ -379,23 +414,8 @@ class LineGanTrainer:
                        gt_counts, rng):
             """Spacer MSE vs DTW-derived counts (trainer:626-729)."""
             def loss_fn(main_params):
-                variables = {"params": {**main_params,
-                                        "hwr": state.hwr_params}}
-                if state.model_stats:
-                    variables["batch_stats"] = state.model_stats
-                style, _ = model.apply(
-                    variables, image, method=model.extract_style)
-                onehot = jax.nn.one_hot(label, n_class)
-                counts = model.apply(
-                    variables, onehot, style,
-                    method=lambda m, o, s: m.spacer(o, s, train=True),
-                    rngs={"dropout": rng})
-                mask = (jnp.arange(label.shape[1])[None, :]
-                        < lengths[:, None]).astype(jnp.float32)
-                mse = jnp.sum(
-                    mask[..., None] * (counts - gt_counts) ** 2
-                ) / jnp.maximum(jnp.sum(mask) * 2, 1.0)
-                return mse
+                return count_mse(main_params, state, image, label,
+                                 lengths, gt_counts, rng)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.main_params)
             upd, new_opt = main_opt.update(
@@ -483,11 +503,27 @@ class LineGanTrainer:
                 step=state.step + 1, disc_params=new_disc,
                 disc_stats=new_stats, disc_opt=new_opt), {"disc": loss}
 
+        @jax.jit
+        def valid_step(state: LineState, image, label, lengths,
+                       spaced_onehot, rng, fg_mask, gt_counts):
+            """No-update validation pass over the curriculum's valid
+            lesson set (base_trainer.py:278-311 `_valid_epoch` with
+            curriculum.getValid(): the non-GAN losses — auto recon +
+            spacer count — measured without touching any state)."""
+            loss, (l1, perc, _, _) = recon_losses(
+                state.main_params, state, image, label, lengths,
+                spaced_onehot, rng, fg_mask)
+            mse = count_mse(state.main_params, state, image, label,
+                            lengths, gt_counts, rng)
+            return {"val_auto": loss, "val_auto_l1": l1,
+                    "val_auto_perceptual": perc, "val_count": mse}
+
         self.auto_step = auto_step
         self.auto_gen_step = auto_gen_step
         self.count_step = count_step
         self.gen_step = gen_step
         self.disc_step = disc_step
+        self.valid_step = valid_step
 
     # ----- host-side count targets (trainer:626-729) -----
     def count_targets(self, spaced: np.ndarray, label: np.ndarray,
@@ -531,9 +567,9 @@ class LineGanTrainer:
         lesson = self.curriculum.get_lesson(iteration)
         metrics: dict[str, float] = {}
         self.rng, key = jax.random.split(self.rng)
-        image = jnp.asarray(batch["image"])
-        label = jnp.asarray(batch["label"])
-        lengths = jnp.asarray(batch["label_lengths"])
+        image = self._put(batch["image"])
+        label = self._put(batch["label"])
+        lengths = self._put(batch["label_lengths"])
 
         if "count" in lesson:
             spaced = self.spaced_label(state, batch)
@@ -541,7 +577,7 @@ class LineGanTrainer:
                 spaced, np.asarray(batch["label"]),
                 np.asarray(batch["label_lengths"]))
             state, m = self.count_step(
-                state, image, label, lengths, jnp.asarray(gt), key)
+                state, image, label, lengths, self._put(gt), key)
             metrics.update({k: float(v) for k, v in m.items()})
         if "auto" in lesson or "auto-gen" in lesson:
             spaced = self.spaced_label(state, batch)
@@ -549,9 +585,9 @@ class LineGanTrainer:
             t = self.max_gen_length
             sp = np.zeros((spaced.shape[0], t), spaced.dtype)
             sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
-            spaced_onehot = jax.nn.one_hot(jnp.asarray(sp), self.n_class)
+            spaced_onehot = self._put(jax.nn.one_hot(jnp.asarray(sp), self.n_class))
             fg = batch.get("fg_mask")
-            fg = (jnp.asarray(fg) if fg is not None
+            fg = (self._put(fg) if fg is not None
                   else jnp.ones_like(image, jnp.float32))
             if "auto-gen" in lesson:
                 state, m, style = self.auto_gen_step(
@@ -570,7 +606,7 @@ class LineGanTrainer:
                     variables, image, method=self.model.extract_style)
                 style = np.asarray(style)
                 self.style_bank.add(style)
-            style = jnp.asarray(style)
+            style = self._put(style)
             if "gen" in lesson:
                 new_state, m, _ = self.gen_step(
                     state, label, lengths, style, key,
@@ -586,20 +622,91 @@ class LineGanTrainer:
                 metrics.update({k: float(v) for k, v in m.items()})
         return state, metrics
 
+    @classmethod
+    def from_config(cls, config: dict, mesh=None, curriculum=None
+                    ) -> "LineGanTrainer":
+        """Rebuild a trainer from a checkpoint-embedded config dict (the
+        reference rebuilds the model from the checkpoint's config,
+        generate.py:88-97, app.py:65-77)."""
+        cfg = dict(config)
+        cfg["slow_param_names"] = tuple(cfg.get("slow_param_names", ()))
+        cfg["freeze_param_names"] = tuple(cfg.get("freeze_param_names", ()))
+        return cls(curriculum=curriculum, mesh=mesh, **cfg)
+
+    # ----- validation (base_trainer.py:278-311 `_valid_epoch`) -----
+    def validate(self, state: LineState, batches: Iterator[dict],
+                 max_batches: int | None = None) -> dict:
+        """Run the curriculum's valid lesson set — the non-GAN losses
+        (auto recon + spacer count), no updates — averaged over batches.
+        Deterministic: fixed RNG, so two validations of the same state
+        agree."""
+        sums: dict[str, float] = {}
+        n = 0
+        key = jax.random.key(0)
+        for batch in batches:
+            if max_batches is not None and n >= max_batches:
+                break
+            spaced = self.spaced_label(state, batch)
+            gt = self.count_targets(
+                spaced, np.asarray(batch["label"]),
+                np.asarray(batch["label_lengths"]))
+            t = self.max_gen_length
+            sp = np.zeros((spaced.shape[0], t), spaced.dtype)
+            sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
+            image = self._put(batch["image"])
+            fg = batch.get("fg_mask")
+            fg = (self._put(fg) if fg is not None
+                  else jnp.ones_like(image, jnp.float32))
+            m = self.valid_step(
+                state, image, self._put(batch["label"]),
+                self._put(batch["label_lengths"]),
+                self._put(jax.nn.one_hot(jnp.asarray(sp), self.n_class)),
+                key, fg, self._put(gt))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        # the monitored scalar (lower is better): recon + count quality
+        out["val_monitor"] = (out.get("val_auto_l1", 0.0)
+                              + out.get("val_count", 0.0))
+        return out
+
     def fit(self, state: LineState, batches: Iterator[dict],
             iterations: int, log_every: int = 10,
-            logger=None, ckpt_fn=None) -> LineState:
-        """``ckpt_fn(state)`` (optional) is called on SIGINT before exit
-        (reference train.py:75-78) — the interrupt loses at most one
-        iteration."""
+            logger=None, ckpt_fn=None, ckpt=None,
+            save_every: int = 2000, save_latest_every: int = 250,
+            val_batches_fn=None, val_every: int = 0,
+            val_max_batches: int = 4,
+            swa_start: int | None = None, swa_state=None) -> LineState:
+        """The full BaseTrainer runtime (base_trainer.py:199-326):
+        iteration loop with latest/periodic/best checkpoints, periodic
+        validation with monitor-best, SWA weight averaging past
+        ``swa_start`` (:180-186, 234-237), SIGINT -> save-and-exit
+        (train.py:75-78).
+
+        ``ckpt`` is a ``LineCheckpointManager``; ``val_batches_fn()``
+        returns a fresh iterable of validation batches.  Resume: start
+        iteration comes from ``state.step``, so passing a restored state
+        continues the schedule where it stopped.  The SWA average is
+        exposed as ``self.swa_state`` after fit.
+        """
         import signal
 
-        it = 0
+        it = int(state.step)
+        self.swa_state = swa_state
+
+        def _save_latest(s):
+            if ckpt is not None:
+                ckpt.save_latest(
+                    {"state": s, "swa": self._swa_payload(s)},
+                    self.config_dict)
+            elif ckpt_fn is not None:
+                ckpt_fn(s)
 
         def _sigint(signum, frame):
-            if ckpt_fn is not None:
+            if ckpt is not None or ckpt_fn is not None:
                 print("SIGINT: saving checkpoint before exit")
-                ckpt_fn(state)
+                _save_latest(state)
             raise KeyboardInterrupt
 
         prev = signal.signal(signal.SIGINT, _sigint)
@@ -608,9 +715,57 @@ class LineGanTrainer:
                 if it >= iterations:
                     break
                 state, metrics = self.train_iteration(state, it, batch)
+                it += 1
+                if swa_start is not None and it >= swa_start:
+                    from affganwriting_tpu.train.swa import (
+                        swa_init,
+                        swa_update,
+                    )
+
+                    if self.swa_state is None:
+                        self.swa_state = swa_init(state.main_params)
+                    self.swa_state = swa_update(
+                        self.swa_state, state.main_params)
                 if logger is not None and it % log_every == 0:
                     logger.log(it, metrics, group="line_train")
-                it += 1
+                if (val_every and val_batches_fn is not None
+                        and it % val_every == 0):
+                    val = self.validate(state, val_batches_fn(),
+                                        max_batches=val_max_batches)
+                    if self.swa_state is not None:
+                        swa_probe = state.replace(
+                            main_params=self.swa_state["avg"])
+                        swa_val = self.validate(
+                            swa_probe, val_batches_fn(),
+                            max_batches=val_max_batches)
+                        val.update({f"swa_{k}": v
+                                    for k, v in swa_val.items()})
+                    if logger is not None:
+                        logger.log(it, val, group="line_valid")
+                    if ckpt is not None:
+                        ckpt.maybe_save_best(
+                            {"state": state,
+                             "swa": self._swa_payload(state)},
+                            self.config_dict, val["val_monitor"])
+                if ckpt is not None:
+                    if it % save_every == 0:
+                        ckpt.save_step(
+                            {"state": state,
+                             "swa": self._swa_payload(state)},
+                            self.config_dict, it)
+                    elif it % save_latest_every == 0:
+                        _save_latest(state)
+            _save_latest(state)
         finally:
             signal.signal(signal.SIGINT, prev)
         return state
+
+    def _swa_payload(self, state: LineState):
+        """SWA slot with a stable treedef: the running average when SWA is
+        active, else a count-0 copy of the current params (so checkpoints
+        restore into one structure either way)."""
+        if getattr(self, "swa_state", None) is not None:
+            return self.swa_state
+        from affganwriting_tpu.train.swa import swa_init
+
+        return swa_init(state.main_params)

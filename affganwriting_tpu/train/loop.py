@@ -20,6 +20,11 @@ import numpy as np
 
 from affganwriting_tpu.core.checkpoint import CheckpointManager
 from affganwriting_tpu.core.config import WordGanConfig
+from affganwriting_tpu.parallel.mesh import (
+    DATA_AXIS,
+    shard_batch,
+    shard_state,
+)
 from affganwriting_tpu.data.words import WordStyleDataset
 from affganwriting_tpu.eval.cer import CERAccumulator, cer_counts
 from affganwriting_tpu.train.eval_step import make_eval_step
@@ -61,6 +66,7 @@ class WordGanTrainer:
         save_latest_every_steps: int = 250,
         patience: int = 20,
         rec_plateau: bool = False,
+        mesh=None,
     ):
         self.config = config
         self.train_data = train_data
@@ -79,6 +85,19 @@ class WordGanTrainer:
             self.plateau = None
         self.rng = jax.random.key(seed)
 
+        # Multi-chip: params/opt-state placed on the mesh once (TP rules on
+        # the big dense layers, DP replication elsewhere); every batch is
+        # sharded over 'data'.  GSPMD then partitions the same train_step —
+        # gradient psum over ICI — with no other trainer change (SURVEY.md
+        # §5.8; the north-star contract in BASELINE.json).
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            if config.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {config.batch_size} not divisible by the "
+                    f"mesh 'data' axis ({n_data})")
+
         self.state = init_state(config, jax.random.key(seed))
         self.train_step = jax.jit(make_train_step(config), donate_argnums=0)
         self.eval_step = make_eval_step(config)
@@ -88,6 +107,12 @@ class WordGanTrainer:
             self.start_epoch = int(self.state.step) // max(
                 1, len(train_data) // config.batch_size)
             print(f"resumed from latest at epoch ~{self.start_epoch}")
+        if mesh is not None:
+            self.state = shard_state(mesh, self.state)
+
+    def _place(self, batch: dict) -> dict:
+        return shard_batch(self.mesh, batch) if self.mesh is not None \
+            else batch
 
     def train_epoch(self, epoch: int) -> dict:
         cer_tr = CERAccumulator()
@@ -105,8 +130,13 @@ class WordGanTrainer:
         for batch in self.train_data.batches(epoch=epoch):
             self.rng, step_key = jax.random.split(self.rng)
             self.state, metrics, extras = self.train_step(
-                self.state, batch, step_key)
-            pending.append((metrics, extras, batch))
+                self.state, self._place(batch), step_key)
+            # retain only what the post-loop CER pass reads: keeping the
+            # whole batch would pin every style stack (~22MB/step at batch
+            # 8) in memory for the entire epoch
+            labels = {k: batch[k]
+                      for k in ("label_ch0", "label_xt", "label_xt_swap")}
+            pending.append((metrics, extras, labels))
             n += 1
             gsteps += 1
             if gsteps % self.save_latest_every_steps == 0:
@@ -139,7 +169,8 @@ class WordGanTrainer:
         sums: dict[str, float] = {}
         n = 0
         for batch in self.test_data.batches(epoch=epoch, shuffle=False):
-            metrics, preds, images = self.eval_step(self.state, batch)
+            metrics, preds, images = self.eval_step(
+                self.state, self._place(batch))
             if n == 0:
                 self._dump_sheet(epoch, batch, preds, images)
             for k, v in metrics.items():
