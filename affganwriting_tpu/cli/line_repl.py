@@ -21,7 +21,13 @@ import os
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ckpt", default=None, help="line-trainer checkpoint")
+    p.add_argument("--ckpt", default=None,
+                   help="line-trainer checkpoint dir (the run's ckpt/ "
+                        "directory); restores the trained model the way "
+                        "the reference's generate.py -c does")
+    p.add_argument("--ckpt-name", default="latest",
+                   choices=("latest", "best"),
+                   help="which checkpoint in the dir to restore")
     p.add_argument("--styles", default=None, help="style-library pickle")
     p.add_argument("--out", default="runs/line_repl")
     p.add_argument("--script", default=None,
@@ -42,11 +48,22 @@ def main(argv=None):
     charset = LineCharset()
     ds = LineDataset(charset, a_batch_size=2, width=256, label_len=24,
                      seed=args.seed)
-    trainer = LineGanTrainer(n_class=charset.n_class, max_gen_length=64,
-                             seed=args.seed)
     batches = list(itertools.islice(ds.batches(batch_authors=1), 2))
-    state = trainer.init_state(batches[0], jax.random.key(args.seed))
-    # TODO(ckpt): restore trained state when --ckpt given
+    if args.ckpt:
+        # restore the trained model + config from the run's checkpoint
+        # (reference generate.py:88-97: the checkpoint's embedded config
+        # rebuilds the exact arch, then state_dict loads into it)
+        from affganwriting_tpu.core.checkpoint import restore_line_trainer
+
+        trainer, payload = restore_line_trainer(
+            args.ckpt, batches[0], name=args.ckpt_name)
+        state = payload["state"]
+        print(f"restored {args.ckpt_name} checkpoint "
+              f"(iteration {int(state.step)})")
+    else:
+        trainer = LineGanTrainer(n_class=charset.n_class, max_gen_length=64,
+                                 seed=args.seed)
+        state = trainer.init_state(batches[0], jax.random.key(args.seed))
     if args.styles and os.path.exists(args.styles):
         library = li.StyleLibrary.load(args.styles)
     else:

@@ -29,6 +29,12 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self.keep_periodic = keep_periodic
         self._best_metric: Optional[float] = None
+        # best-so-far survives a resume (the reference restores
+        # monitor_best from the checkpoint, base_trainer.py:445)
+        best_path = self._path("best.metric.json")
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                self._best_metric = float(json.load(f)["metric"])
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -92,3 +98,59 @@ class CheckpointManager:
 
     def latest_exists(self) -> bool:
         return os.path.exists(self._path("latest"))
+
+
+class LineCheckpointManager(CheckpointManager):
+    """The line-stack trio (reference base_trainer.py:340-399): payload is
+    ``{"state": LineState, "swa": {"avg": params, "count": n}}`` — model +
+    both optimizer states + iteration (``state.step``) + SWA average — and
+    the trainer's constructor config rides along as JSON, which is what
+    ``generate.py``/``app.py``-equivalents rebuild the model from
+    (reference generate.py:88-97)."""
+
+    def save(self, name: str, payload: Any, config: dict) -> None:
+        import shutil
+
+        path = self._path(name)
+        tmp = f"{path}.orbax-checkpoint-tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, payload)
+        self._ckptr.wait_until_finished()
+        with open(self._path(f"{name}.config.json"), "w") as f:
+            json.dump(config, f, indent=2, sort_keys=True)
+
+    def load_config(self, name: str) -> dict:
+        with open(self._path(f"{name}.config.json")) as f:
+            return json.load(f)
+
+
+def restore_line_trainer(ckpt_dir: str, sample_batch: dict,
+                         name: str = "latest", mesh=None, curriculum=None):
+    """Checkpoint dir -> (trainer, restored payload).
+
+    Rebuilds the trainer from the embedded config, initializes a skeleton
+    state from ``sample_batch`` (shapes only), and restores the payload
+    into it — the full resume path (reference base_trainer.py:410-479 +
+    generate.py:88-97).  ``payload["state"].step`` carries the iteration.
+    """
+    import jax
+
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+    from affganwriting_tpu.train.swa import swa_init
+
+    mgr = LineCheckpointManager(ckpt_dir)
+    config = mgr.load_config(name)
+    trainer = LineGanTrainer.from_config(
+        config, mesh=mesh, curriculum=curriculum)
+    skeleton = trainer.init_state(sample_batch, jax.random.key(0))
+    payload = mgr.restore(
+        name, {"state": skeleton, "swa": swa_init(skeleton.main_params)})
+    if mesh is not None:
+        # orbax restored onto the default device; put back on the mesh
+        from affganwriting_tpu.parallel.mesh import shard_state
+
+        payload = shard_state(mesh, payload)
+    return trainer, payload

@@ -35,19 +35,31 @@ def _load_backend(ckpt_dir=None, styles_path=None, seed=0,
     from affganwriting_tpu.train.line_trainer import LineGanTrainer
 
     charset = LineCharset()
-    trainer = LineGanTrainer(
-        n_class=charset.n_class, max_gen_length=max_gen_length)
     authors = [f"a{i:03d}" for i in range(n_authors)] if n_authors else None
     ds = LineDataset(charset, authors=authors, a_batch_size=1, width=width,
                      label_len=24)
     first = next(ds.batches(batch_authors=2))
-    state = trainer.init_state(first, jax.random.key(seed))
-    if ckpt_dir:
-        import orbax.checkpoint as ocp
+    if ckpt_dir and os.path.exists(
+            os.path.join(ckpt_dir, "latest.config.json")):
+        # a LineCheckpointManager run dir: rebuild the trained model from
+        # the embedded config (reference app.py:65-77)
+        from affganwriting_tpu.core.checkpoint import restore_line_trainer
 
-        shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-        state = ocp.StandardCheckpointer().restore(ckpt_dir, shapes)
+        name = "best" if os.path.exists(
+            os.path.join(ckpt_dir, "best")) else "latest"
+        trainer, payload = restore_line_trainer(ckpt_dir, first, name=name)
+        state = payload["state"]
+    else:
+        trainer = LineGanTrainer(
+            n_class=charset.n_class, max_gen_length=max_gen_length)
+        state = trainer.init_state(first, jax.random.key(seed))
+        if ckpt_dir:
+            # bare orbax LineState dir (pre-manager format)
+            import orbax.checkpoint as ocp
+
+            shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            state = ocp.StandardCheckpointer().restore(ckpt_dir, shapes)
     if styles_path and os.path.exists(styles_path):
         library = StyleLibrary.load(styles_path)
     else:

@@ -51,3 +51,19 @@ class Curriculum:
             for lesson in lessons:
                 out.update(lesson)
         return out
+
+    def get_valid(self) -> list[str]:
+        """Validation lesson set (reference curriculum.py:31-33, 55-56):
+        every trained token except the GAN ones ('gen'/'disc' — their
+        losses aren't informative as validation metrics), plus 'valid'."""
+        toks = sorted(t for t in self.all_lessons
+                      if "gen" not in t and "disc" not in t
+                      and t != "no-step")
+        return toks + ["valid"]
+
+    def get_eval(self) -> list[str]:
+        """Eval lesson set (curriculum.py:33-34, 57-58): everything except
+        the discriminator tokens, plus 'eval'."""
+        toks = sorted(t for t in self.all_lessons
+                      if "disc" not in t and t != "no-step")
+        return toks + ["eval"]

@@ -1,0 +1,122 @@
+"""Line-stack runtime: checkpoint trio + resume, validation loop, SWA
+wiring, curriculum valid/eval sets (reference base/base_trainer.py:180-186,
+278-311, 340-479; utils/curriculum.py:51-60)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from affganwriting_tpu.core.checkpoint import (
+    LineCheckpointManager,
+    restore_line_trainer,
+)
+from affganwriting_tpu.train.curriculum import Curriculum
+
+
+def test_curriculum_valid_eval_sets():
+    c = Curriculum()   # count | no-step,gen | auto,auto-gen | disc ...
+    valid = c.get_valid()
+    assert valid[-1] == "valid"
+    assert "count" in valid and "auto" in valid
+    assert not any("gen" in t or "disc" in t for t in valid[:-1])
+    ev = c.get_eval()
+    assert ev[-1] == "eval"
+    assert "gen" in ev and "auto-gen" in ev
+    assert not any("disc" in t for t in ev[:-1])
+
+
+def test_line_checkpoint_trio_and_best(tmp_path):
+    mgr = LineCheckpointManager(str(tmp_path / "ck"), keep_periodic=2)
+    payload = {"state": {"w": jnp.arange(4, dtype=jnp.float32),
+                         "step": jnp.asarray(7, jnp.int32)},
+               "swa": {"avg": jnp.ones((4,)),
+                       "count": jnp.asarray(3, jnp.int32)}}
+    cfg = {"n_class": 80, "lr": 2e-4}
+    mgr.save_latest(payload, cfg)
+    assert mgr.latest_exists()
+    for it in (2, 4, 6):
+        mgr.save_step(payload, cfg, it)
+    kept = sorted(d for d in os.listdir(tmp_path / "ck")
+                  if d.startswith("step_") and not d.endswith(".json"))
+    assert len(kept) == 2   # pruned to keep_periodic
+
+    assert mgr.maybe_save_best(payload, cfg, 5.0)
+    assert not mgr.maybe_save_best(payload, cfg, 6.0)
+    assert mgr.maybe_save_best(payload, cfg, 4.0)
+
+    restored = mgr.restore("latest", payload)
+    np.testing.assert_array_equal(
+        np.asarray(restored["state"]["w"]), np.arange(4, dtype=np.float32))
+    assert int(restored["swa"]["count"]) == 3
+    assert mgr.load_config("latest") == cfg
+
+    # best metric survives a new manager on the same dir (resume)
+    mgr2 = LineCheckpointManager(str(tmp_path / "ck"))
+    assert not mgr2.maybe_save_best(payload, cfg, 4.5)
+    assert mgr2.maybe_save_best(payload, cfg, 3.0)
+
+
+@pytest.mark.slow  # compiles the line lesson steps on the 1-core CPU
+def test_line_fit_checkpoints_validates_and_resumes(tmp_path):
+    from affganwriting_tpu.data.lines import LineCharset, LineDataset
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+
+    cs = LineCharset()
+    ds = LineDataset(cs, a_batch_size=2, width=256, label_len=24, seed=0)
+    val_ds = LineDataset(cs, a_batch_size=2, width=256, label_len=24, seed=1)
+    cur = Curriculum({0: [["count"], ["auto"]]})
+    trainer = LineGanTrainer(n_class=cs.n_class, max_gen_length=64,
+                             seed=0, curriculum=cur)
+    first = next(ds.batches(batch_authors=1))
+    state = trainer.init_state(first, jax.random.key(0))
+
+    ckpt = LineCheckpointManager(str(tmp_path / "ck"))
+
+    def stream():
+        epoch = 0
+        while True:
+            yield from ds.batches(1, epoch=epoch)
+            epoch += 1
+
+    state = trainer.fit(
+        state, stream(), 4, ckpt=ckpt, save_every=100,
+        save_latest_every=2,
+        val_batches_fn=lambda: val_ds.batches(1, epoch=0),
+        val_every=2, val_max_batches=1, swa_start=2)
+    assert int(state.step) == 4
+    assert ckpt.latest_exists()
+    # validation ran and tracked a best
+    assert os.path.exists(tmp_path / "ck" / "best.metric.json")
+    # SWA engaged at iteration 2
+    assert trainer.swa_state is not None
+    assert int(trainer.swa_state["count"]) == 3   # its 2,3,4
+
+    # validate() is deterministic for a fixed state
+    v1 = trainer.validate(state, val_ds.batches(1, epoch=0), max_batches=1)
+    v2 = trainer.validate(state, val_ds.batches(1, epoch=0), max_batches=1)
+    assert v1["val_monitor"] == pytest.approx(v2["val_monitor"], rel=1e-6)
+    assert all(np.isfinite(v) for v in v1.values())
+
+    # full resume: trainer + state + swa rebuilt from the checkpoint dir
+    trainer2, payload = restore_line_trainer(
+        str(tmp_path / "ck"), first, name="latest", curriculum=cur)
+    state2 = payload["state"]
+    assert int(state2.step) == 4
+    a = jax.tree.leaves(state.main_params)[0]
+    b = jax.tree.leaves(state2.main_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(payload["swa"]["count"]) == 3
+    # continue training from the restored state
+    state2 = trainer2.fit(state2, stream(), 6, ckpt=ckpt,
+                          save_latest_every=100, swa_state=payload["swa"],
+                          swa_start=2)
+    assert int(state2.step) == 6
+    assert int(trainer2.swa_state["count"]) == 5
+
+
+def test_evaluate_line_cli_importable():
+    import affganwriting_tpu.cli.evaluate_line  # noqa: F401
