@@ -4,11 +4,20 @@ The honest metric: every image the reference's generation pipeline emits is
 also recognized by R (GAN_word/tt.test_single_writer.4_scenarios.py:152-181
 loops generate -> recognize -> filter per word).  Here that whole pipeline
 — style stack encoded once, a batch of words decoded, R's greedy scan over
-every generated image — is ONE XLA program, timed end-to-end with dispatch.
+every generated image — runs as pipelined XLA programs, timed end-to-end.
+
+Measurement methodology (tunneled-TPU rules, README Performance):
+  * streaming — dispatch N batches back-to-back, drain once.  This is the
+    offline-sweep number; per-call latency includes the tunnel's sync
+    floor, which varies from ~27ms to seconds with service health.
+  * ``fetch_floor_ms`` calibrates that floor (median trivial-scalar fetch)
+    so per-call numbers can be compared across rounds.
+  * a ``+fetch`` variant drains the full image tensors to the host — the
+    reference sweep writes every PNG, so readback is part of its pipeline.
 
 Prints ONE JSON line; ``vs_baseline`` is relative to the 5,000
-imgs/sec/chip target (BASELINE.md).  Secondary rates (G-only, train step)
-ride along in ``extra``.
+imgs/sec/chip target (BASELINE.md).  Secondary rates (G-only, train step
+streaming + per-call) ride along in ``extra``.
 """
 
 from __future__ import annotations
@@ -18,6 +27,27 @@ import sys
 import time
 
 import numpy as np
+
+N_STREAM = 30
+
+
+def _fetch_floor_ms(iters: int = 15) -> float:
+    """Median ms to fetch one freshly-computed scalar: the tunnel's
+    per-call sync floor.  Everything per-call pays this at least once."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.asarray(0.0)
+    x = f(x)
+    float(np.asarray(x))   # warm the program
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        x = f(x)
+        float(np.asarray(x))
+        times.append(time.perf_counter() - t0)
+    return 1000.0 * sorted(times)[len(times) // 2]
 
 
 def _median_rate(fn, args, batch, iters=20, vary=None):
@@ -76,16 +106,18 @@ def _vary_style(args, i):
     return tuple(a)
 
 
-def _run_gen_read(batch: int) -> tuple[float, float]:
-    """Returns (streaming rate, per-call rate).
-
-    Streaming = the serving-loop number: N generate+recognize batches
-    dispatched back-to-back (jax async pipelines host dispatch with device
-    execution), results fetched at the end — the reference's offline
-    generation sweep is exactly this shape.  Per-call = median latency
-    with a forced fetch per call (stricter; includes one round-trip)."""
+def _stream_styles(style, n):
     import jax.numpy as jnp
 
+    styles = [jnp.asarray(style + np.float32(i) * 1e-3) for i in range(n)]
+    for s in styles:
+        float(np.asarray(s).ravel()[0])   # materialize inputs
+    return styles
+
+
+def _run_gen_read(batch: int) -> dict:
+    """gen+recognize rates: streaming (preds drained), streaming with full
+    image readback, and per-call with a forced fetch."""
     from affganwriting_tpu.gen.inference import make_generate_and_read_fn
 
     cfg, gen_vars, rec_vars, style, labels = _setup(batch)
@@ -94,33 +126,53 @@ def _run_gen_read(batch: int) -> tuple[float, float]:
     percall = _median_rate(
         fn, (gen_vars, rec_vars, style, labels), batch, vary=_vary_style)
 
-    n_stream = 10
-    styles = [jnp.asarray(style + np.float32(i) * 1e-3)
-              for i in range(n_stream)]
-    for s in styles:
-        float(np.asarray(s).ravel()[0])   # materialize inputs
+    styles = _stream_styles(style, N_STREAM)
     # warm the program
     out = fn(gen_vars, rec_vars, styles[0], labels)
     float(np.asarray(out[1]).ravel()[0])
+
+    # (a) streaming, preds only: the recognition-filter sweep
     t0 = time.perf_counter()
     preds = [fn(gen_vars, rec_vars, s, labels)[1] for s in styles]
     for p in preds:
         float(np.asarray(p).ravel()[0])   # drain the stream
+    stream = N_STREAM * batch / (time.perf_counter() - t0)
+
+    # (b) streaming + full image readback (the reference writes every PNG:
+    # tt.test_single_writer.4_scenarios.py:181) — images AND preds cross
+    # to the host
+    t0 = time.perf_counter()
+    outs = [fn(gen_vars, rec_vars, s, labels) for s in styles]
+    total = 0
+    for imgs, p in outs:
+        total += np.asarray(imgs).nbytes
+        float(np.asarray(p).ravel()[0])
     dt = time.perf_counter() - t0
-    return n_stream * batch / dt, percall
+    fetch_stream = N_STREAM * batch / dt
+    return {"stream": stream, "fetch_stream": fetch_stream,
+            "percall": percall,
+            "fetch_mb_per_sec": total / dt / 1e6}
 
 
-def _run_gen_only(batch: int) -> float:
+def _run_gen_only(batch: int) -> dict:
     from affganwriting_tpu.gen.inference import make_generate_fn
 
     cfg, gen_vars, _, style, labels = _setup(batch)
     fn = make_generate_fn(cfg)
-    return _median_rate(
+    percall = _median_rate(
         fn, (gen_vars, style, labels), batch, vary=_vary_style)
+    styles = _stream_styles(style, N_STREAM)
+    out = fn(gen_vars, styles[0], labels)
+    float(np.asarray(out).ravel()[0])
+    t0 = time.perf_counter()
+    outs = [fn(gen_vars, s, labels) for s in styles]
+    for o in outs:
+        float(np.asarray(o).ravel()[0])
+    stream = N_STREAM * batch / (time.perf_counter() - t0)
+    return {"stream": stream, "percall": percall}
 
 
-def _run_train_step(batch: int) -> float:
-    """Images trained/sec through the full four-player step."""
+def _train_setup(batch):
     import jax
 
     from affganwriting_tpu.core.config import VOCAB, default_config
@@ -129,7 +181,7 @@ def _run_train_step(batch: int) -> float:
 
     cfg = default_config().replace(batch_size=batch)
     state = init_state(cfg, jax.random.key(0))
-    step = jax.jit(make_train_step(cfg))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
 
     rng = np.random.default_rng(0)
     lab = lambda w: VOCAB.pad_label(w, cfg.output_max_len)  # noqa: E731
@@ -144,25 +196,43 @@ def _run_train_step(batch: int) -> float:
         "label_xt_swap": np.asarray([lab("dep")] * batch, np.int32),
         "label_ch0": np.asarray([lab("word")] * batch, np.int32),
     }
+    return state, step, batch_d
+
+
+def _run_train_step(batch: int, n_stream: int = 10) -> dict:
+    """Images trained/sec through the full four-player step.
+
+    Streaming is the honest trainer number (the epoch loop dispatches
+    every step and drains at the end, train/loop.py:train_epoch); per-call
+    forces a metric fetch each step and pays the tunnel floor.
+    """
+    import jax
+
+    state, step, batch_d = _train_setup(batch)
     key = jax.random.key(1)
 
-    def fn(s, b, k):
-        new_state, metrics, _ = step(s, b, k)
-        return (metrics["l_total"], new_state)
+    # warm (compile)
+    state, metrics, _ = step(state, batch_d, key)
+    float(np.asarray(metrics["l_total"]))
 
-    # state threads through; time per-step latency
-    new_out = fn(state, batch_d, key)
-    float(np.asarray(new_out[0]))
+    # streaming: dispatch n_stream steps, drain once
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_stream):
+        state, metrics, _ = step(state, batch_d, key)
+        last = metrics["l_total"]
+    float(np.asarray(last))
+    stream = n_stream * batch / (time.perf_counter() - t0)
+
+    # per-call: value fetch per step
     times = []
-    s = new_out[1]
-    for _ in range(8):
+    for _ in range(6):
         t0 = time.perf_counter()
-        out = fn(s, batch_d, key)
-        float(np.asarray(out[0]))
+        state, metrics, _ = step(state, batch_d, key)
+        float(np.asarray(metrics["l_total"]))
         times.append(time.perf_counter() - t0)
-        s = out[1]
-    dt = sorted(times)[len(times) // 2]
-    return batch / dt
+    percall = batch / sorted(times)[len(times) // 2]
+    return {"stream": stream, "percall": percall}
 
 
 def _try(fn, batches):
@@ -181,29 +251,38 @@ def main():
     else:
         batches = [2048, 1024, 256]
 
+    floor_ms = _fetch_floor_ms()
     res, b_used = _try(_run_gen_read, batches)
     if res is None:
         raise SystemExit("all gen+read batch sizes failed")
-    gen_read, percall = res
 
-    extra = {"gen_read_batch": b_used,
-             "gen_read_percall_imgs_per_sec": round(percall, 1)}
+    extra = {
+        "fetch_floor_ms": round(floor_ms, 2),
+        "n_stream": N_STREAM,
+        "gen_read_batch": b_used,
+        "gen_read_fetch_imgs_per_sec": round(res["fetch_stream"], 1),
+        "gen_read_fetch_mb_per_sec": round(res["fetch_mb_per_sec"], 1),
+        "gen_read_percall_imgs_per_sec": round(res["percall"], 1),
+    }
     if "--quick" not in sys.argv:
         gen_only, b_g = _try(_run_gen_only, batches)
         if gen_only is not None:
-            extra["gen_only_imgs_per_sec"] = round(gen_only, 1)
+            extra["gen_only_imgs_per_sec"] = round(gen_only["stream"], 1)
+            extra["gen_only_percall_imgs_per_sec"] = round(
+                gen_only["percall"], 1)
             extra["gen_only_batch"] = b_g
-        train_rate, b_t = _try(_run_train_step, [64, 32, 8])
-        if train_rate is not None:
-            extra["train_imgs_per_sec"] = round(train_rate, 1)
+        train, b_t = _try(_run_train_step, [64, 32, 8])
+        if train is not None:
+            extra["train_stream_imgs_per_sec"] = round(train["stream"], 1)
+            extra["train_percall_imgs_per_sec"] = round(train["percall"], 1)
             extra["train_batch"] = b_t
 
     target = 5000.0
     print(json.dumps({
         "metric": "generate+recognize 64x216 word images/sec/chip",
-        "value": round(gen_read, 1),
+        "value": round(res["stream"], 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(gen_read / target, 3),
+        "vs_baseline": round(res["stream"] / target, 3),
         "extra": extra,
     }))
 
