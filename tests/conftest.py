@@ -24,6 +24,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: repeated suite runs skip recompiles
+# (the cold-run wall time is what the README reports; iteration runs drop
+# to execution-only).  Opt out with AFFG_JAX_CACHE="".
+_cache_dir = os.environ.get(
+    "AFFG_JAX_CACHE", os.path.expanduser("~/.cache/affganwriting_jax"))
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without the knobs: cold compiles only
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

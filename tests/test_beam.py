@@ -1,5 +1,7 @@
 """Beam search: shapes, beam-1 == greedy argmax path, scores ordered."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +12,7 @@ from affganwriting_tpu.models.recognizer.seq2seq import Recognizer
 B = 2
 
 
+@functools.lru_cache(maxsize=1)
 def _setup():
     rec = Recognizer(dtype=jnp.float32)
     img = jnp.asarray(

@@ -9,16 +9,16 @@ from affganwriting_tpu.models.line.char_style_multi import (
     space_style,
 )
 
-K, D, B = 12, 8, 2
+K, D, B = 6, 8, 2
 
 
 def test_multi_char_style_shapes():
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(B, 64, 128, 1)), jnp.float32)
+    img = jnp.asarray(rng.normal(size=(B, 64, 64, 1)), jnp.float32)
     recog = jax.nn.log_softmax(
-        jnp.asarray(rng.normal(size=(B, 32, K)), jnp.float32), axis=-1)
+        jnp.asarray(rng.normal(size=(B, 16, K)), jnp.float32), axis=-1)
     enc = MultiCharStyleEncoder(
-        n_class=K, style_dim=16, char_style_dim=D, max_chars=8)
+        n_class=K, style_dim=16, char_style_dim=D, max_chars=4)
     v = jax.jit(enc.init)(jax.random.key(0), img, recog)
     g, spacing, chars = jax.jit(enc.apply)(v, img, recog)
     assert g.shape == (B, 16)

@@ -100,20 +100,23 @@ def test_insert_spaces_semantics():
 
 
 def test_hw_with_style_end_to_end():
-    m = HWWithStyle(n_class=K, max_gen_length=32, dtype=jnp.float32)
-    label = jnp.asarray(RNG.integers(1, K, (B, 6)), jnp.int32)
+    # small charset + short gen length keep the 1-core CPU compile cheap;
+    # the full-K container runs in the slow trainer tests
+    ke, mgl = 20, 16
+    m = HWWithStyle(n_class=ke, max_gen_length=mgl, dtype=jnp.float32)
+    img_in = IMG[:, :, :64]
+    label = jnp.asarray(RNG.integers(1, ke, (B, 6)), jnp.int32)
     lengths = jnp.full((B,), 6, jnp.int32)
-    style0 = jnp.zeros((B, 128), jnp.float32)
     rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
             "spacing": jax.random.key(2)}
-    v = m.init(rngs, IMG, label, lengths, method=m.init_all)
-    style, pred = m.apply(v, IMG, method=m.extract_style)
+    v = m.init(rngs, img_in, label, lengths, method=m.init_all)
+    style, pred = m.apply(v, img_in, method=m.extract_style)
     assert style.shape == (B, 128)
     img, spaced, counts = m.apply(
         v, label, lengths, style,
         rngs={"noise": jax.random.key(3), "spacing": jax.random.key(4)})
-    assert img.shape == (B, 64, 4 * 32, 1)
-    assert spaced.shape == (B, 32, K)
+    assert img.shape == (B, 64, 4 * mgl, 1)
+    assert spaced.shape == (B, mgl, ke)
     assert counts.shape == (B, 6, 2)
 
 

@@ -83,10 +83,22 @@ def test_discriminator_writer_cla_shapes():
     assert cla.apply(v, img).shape == (B, 500)
 
 
+_REC_CACHE = {}
+
+
+def _recognizer():
+    # initializing the VGG+BiGRU recognizer eagerly costs ~6s on this
+    # 1-core CPU; both recognizer tests share one init
+    if "rec" not in _REC_CACHE:
+        img = jnp.zeros((B, 64, 216, 1), jnp.float32)
+        rec = Recognizer(dtype=jnp.float32)
+        v = rec.init(jax.random.key(0), img, _labels())
+        _REC_CACHE["rec"] = (rec, v, img)
+    return _REC_CACHE["rec"]
+
+
 def test_recognizer_shapes():
-    img = jnp.zeros((B, 64, 216, 1), jnp.float32)
-    rec = Recognizer(dtype=jnp.float32)
-    v = rec.init(jax.random.key(0), img, _labels())
+    rec, v, img = _recognizer()
     logits, attns = rec.apply(v, img, _labels())
     assert logits.shape == (B, 11, 55)
     assert attns.shape == (B, 11, 13)
@@ -96,9 +108,7 @@ def test_recognizer_shapes():
 
 
 def test_recognizer_teacher_forcing_runs():
-    img = jnp.zeros((B, 64, 216, 1), jnp.float32)
-    rec = Recognizer(dtype=jnp.float32)
-    v = rec.init(jax.random.key(0), img, _labels())
+    rec, v, img = _recognizer()
     logits, _ = rec.apply(
         v, img, _labels(), train=True, teacher_rate=0.5,
         rngs={"teacher": jax.random.key(1), "dropout": jax.random.key(2)},

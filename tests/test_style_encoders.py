@@ -11,8 +11,17 @@ from affganwriting_tpu.models.style_encoders import available, get_style_encoder
 
 SMALL_HW = (32, 104)  # keeps CPU compile cheap; geometry-generic modules
 
+# The deep non-default backbones cost 12-45s of XLA CPU compile each on this
+# 1-core box; their pyramid contract is identical in kind to the cheap ones,
+# so they run in the full (slow-included) suite only.  The ACTIVE backbone
+# (resnet50, modules_tro.py:219) always runs fast.
+_HEAVY_COMPILE = {"inception_v3", "efficientnet_v2_l", "dinov2_l", "dinov2_b"}
 
-@pytest.mark.parametrize("name", available())
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY_COMPILE else n
+     for n in available()])
 def test_backbone_pyramid_contract(name):
     enc = get_style_encoder(
         name, dtype=jnp.float32,
