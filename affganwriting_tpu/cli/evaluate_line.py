@@ -38,6 +38,10 @@ def main(argv=None):
 
     import jax
 
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from affganwriting_tpu.data.lines import LineCharset, LineDataset
     from affganwriting_tpu.eval.line_eval import evaluate_lines
     from affganwriting_tpu.train.line_trainer import LineGanTrainer
@@ -65,7 +69,8 @@ def main(argv=None):
         trainer, payload = restore_line_trainer(
             args.ckpt, first, name=args.ckpt_name)
         state = payload["state"]
-        print(f"restored {args.ckpt_name} (iteration {int(state.step)})")
+        print(f"restored {args.ckpt_name} "
+              f"(iteration {int(payload['iteration'])})")
     else:
         trainer = LineGanTrainer(n_class=charset.n_class,
                                  max_gen_length=64, seed=args.seed)

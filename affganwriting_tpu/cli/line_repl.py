@@ -38,6 +38,10 @@ def main(argv=None):
     import itertools
 
     import jax
+
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
 
     from affganwriting_tpu.data.lines import LineCharset, LineDataset
@@ -59,7 +63,7 @@ def main(argv=None):
             args.ckpt, batches[0], name=args.ckpt_name)
         state = payload["state"]
         print(f"restored {args.ckpt_name} checkpoint "
-              f"(iteration {int(state.step)})")
+              f"(iteration {int(payload['iteration'])})")
     else:
         trainer = LineGanTrainer(n_class=charset.n_class, max_gen_length=64,
                                  seed=args.seed)

@@ -56,6 +56,9 @@ def main(argv=None):
 
     import jax
 
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     from affganwriting_tpu.core.checkpoint import (
         LineCheckpointManager,
         restore_line_trainer,
@@ -93,6 +96,7 @@ def main(argv=None):
     ckpt = LineCheckpointManager(ckpt_dir)
     first = next(ds.batches(batch_authors=args.batch_authors))
     swa_state = None
+    start_iteration = None
     if args.resume and ckpt.latest_exists():
         trainer, payload = restore_line_trainer(
             ckpt_dir, first, name="latest", mesh=mesh)
@@ -100,7 +104,8 @@ def main(argv=None):
         swa_state = payload["swa"]
         if int(swa_state["count"]) == 0:
             swa_state = None   # placeholder slot, SWA never started
-        print(f"resumed from latest at iteration {int(state.step)}")
+        start_iteration = int(payload["iteration"])
+        print(f"resumed from latest at iteration {start_iteration}")
     else:
         trainer = LineGanTrainer(
             n_class=charset.n_class, max_gen_length=args.max_gen_length,
@@ -124,7 +129,8 @@ def main(argv=None):
         save_latest_every=args.save_latest_every,
         val_batches_fn=val_batches if args.val_every else None,
         val_every=args.val_every, val_max_batches=args.val_batches,
-        swa_start=args.swa_start, swa_state=swa_state)
+        swa_start=args.swa_start, swa_state=swa_state,
+        start_iteration=start_iteration)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,9 @@ def main(argv=None):
                         "(DP x tensor-parallel)")
     args = p.parse_args(argv)
 
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     from affganwriting_tpu.core.config import default_config
     from affganwriting_tpu.data.iam import (
         default_reference_paths,

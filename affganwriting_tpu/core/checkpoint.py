@@ -39,19 +39,27 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, name: str, state: Any, config: WordGanConfig) -> None:
+    def _save_swap(self, path: str, payload: Any) -> None:
+        """Write the new checkpoint fully before touching the old one: a
+        crash (or SIGINT save-in-flight) must never lose the previous
+        checkpoint.  orbax refuses to overwrite, so save to ``<path>.new``
+        then swap — the destructive window shrinks from the whole
+        multi-second device->host serialization to an rmtree+rename."""
         import shutil
 
-        path = self._path(name)
-        # a killed process can leave an orbax tmp dir behind; clear it
-        tmp = f"{path}.orbax-checkpoint-tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(path):
-            # orbax refuses to overwrite; replace atomically-ish
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
+        new = f"{path}.new"
+        for stale in (f"{path}.orbax-checkpoint-tmp", new,
+                      f"{new}.orbax-checkpoint-tmp"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        self._ckptr.save(new, payload)
         self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(new, path)
+
+    def save(self, name: str, state: Any, config: WordGanConfig) -> None:
+        self._save_swap(self._path(name), state)
         with open(self._path(f"{name}.config.json"), "w") as f:
             f.write(config.to_json())
 
@@ -109,16 +117,7 @@ class LineCheckpointManager(CheckpointManager):
     (reference generate.py:88-97)."""
 
     def save(self, name: str, payload: Any, config: dict) -> None:
-        import shutil
-
-        path = self._path(name)
-        tmp = f"{path}.orbax-checkpoint-tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        self._ckptr.save(path, payload)
-        self._ckptr.wait_until_finished()
+        self._save_swap(self._path(name), payload)
         with open(self._path(f"{name}.config.json"), "w") as f:
             json.dump(config, f, indent=2, sort_keys=True)
 
@@ -141,13 +140,23 @@ def restore_line_trainer(ckpt_dir: str, sample_batch: dict,
     from affganwriting_tpu.train.line_trainer import LineGanTrainer
     from affganwriting_tpu.train.swa import swa_init
 
+    import jax.numpy as jnp
+
     mgr = LineCheckpointManager(ckpt_dir)
     config = mgr.load_config(name)
     trainer = LineGanTrainer.from_config(
         config, mesh=mesh, curriculum=curriculum)
     skeleton = trainer.init_state(sample_batch, jax.random.key(0))
-    payload = mgr.restore(
-        name, {"state": skeleton, "swa": swa_init(skeleton.main_params)})
+    target = {"state": skeleton, "swa": swa_init(skeleton.main_params),
+              "iteration": jnp.zeros((), jnp.int32)}
+    try:
+        payload = mgr.restore(name, target)
+    except Exception:
+        # pre-round-3 checkpoints carry no explicit iteration; fall back
+        # to the (under-counting) optimizer step
+        del target["iteration"]
+        payload = mgr.restore(name, target)
+        payload["iteration"] = payload["state"].step
     if mesh is not None:
         # orbax restored onto the default device; put back on the mesh
         from affganwriting_tpu.parallel.mesh import shard_state

@@ -677,7 +677,8 @@ class LineGanTrainer:
             save_every: int = 2000, save_latest_every: int = 250,
             val_batches_fn=None, val_every: int = 0,
             val_max_batches: int = 4,
-            swa_start: int | None = None, swa_state=None) -> LineState:
+            swa_start: int | None = None, swa_state=None,
+            start_iteration: int | None = None) -> LineState:
         """The full BaseTrainer runtime (base_trainer.py:199-326):
         iteration loop with latest/periodic/best checkpoints, periodic
         validation with monitor-best, SWA weight averaging past
@@ -685,21 +686,31 @@ class LineGanTrainer:
         (train.py:75-78).
 
         ``ckpt`` is a ``LineCheckpointManager``; ``val_batches_fn()``
-        returns a fresh iterable of validation batches.  Resume: start
-        iteration comes from ``state.step``, so passing a restored state
-        continues the schedule where it stopped.  The SWA average is
-        exposed as ``self.swa_state`` after fit.
+        returns a fresh iterable of validation batches.  Resume: pass the
+        checkpoint payload's ``iteration`` as ``start_iteration`` so the
+        curriculum/schedule clock continues exactly where it stopped
+        (``state.step`` under-counts: lesson steps per iteration vary).
+        The SWA average is exposed as ``self.swa_state`` after fit.
         """
         import signal
 
-        it = int(state.step)
+        # the loop iteration is the curriculum/schedule clock and is NOT
+        # state.step (lesson steps per iteration vary: a multi-part lesson
+        # bumps step more than once, valid/no-step none) — the reference
+        # persists self.iteration explicitly (base_trainer.py:345, 444)
+        it = int(state.step) if start_iteration is None else \
+            int(start_iteration)
         self.swa_state = swa_state
+
+        def _payload(s):
+            import jax.numpy as jnp
+
+            return {"state": s, "swa": self._swa_payload(s),
+                    "iteration": jnp.asarray(it, jnp.int32)}
 
         def _save_latest(s):
             if ckpt is not None:
-                ckpt.save_latest(
-                    {"state": s, "swa": self._swa_payload(s)},
-                    self.config_dict)
+                ckpt.save_latest(_payload(s), self.config_dict)
             elif ckpt_fn is not None:
                 ckpt_fn(s)
 
@@ -744,15 +755,12 @@ class LineGanTrainer:
                         logger.log(it, val, group="line_valid")
                     if ckpt is not None:
                         ckpt.maybe_save_best(
-                            {"state": state,
-                             "swa": self._swa_payload(state)},
-                            self.config_dict, val["val_monitor"])
+                            _payload(state), self.config_dict,
+                            val["val_monitor"])
                 if ckpt is not None:
                     if it % save_every == 0:
-                        ckpt.save_step(
-                            {"state": state,
-                             "swa": self._swa_payload(state)},
-                            self.config_dict, it)
+                        ckpt.save_step(_payload(state),
+                                       self.config_dict, it)
                     elif it % save_latest_every == 0:
                         _save_latest(state)
             _save_latest(state)

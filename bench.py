@@ -246,6 +246,9 @@ def _try(fn, batches):
 
 
 def main():
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()   # compiles aren't timed; repeats skip them
     if "--batch" in sys.argv:
         batches = [int(sys.argv[sys.argv.index("--batch") + 1])]
     else:

@@ -26,10 +26,16 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: repeated suite runs skip recompiles
 # (the cold-run wall time is what the README reports; iteration runs drop
-# to execution-only).  Opt out with AFFG_JAX_CACHE="".
+# to execution-only).  Opt out with AFFG_JAX_CACHE="".  The dir is
+# host-fingerprinted: XLA:CPU persists AOT machine code keyed only by
+# HLO, and reusing it after the VM migrates to a different host CPU
+# model produced a silent wrong-numerics determinism failure.
+from affganwriting_tpu.core.cache import host_tag  # noqa: E402
+
 _cache_dir = os.environ.get(
     "AFFG_JAX_CACHE", os.path.expanduser("~/.cache/affganwriting_jax"))
 if _cache_dir:
+    _cache_dir = os.path.join(_cache_dir, host_tag())
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

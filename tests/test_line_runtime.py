@@ -106,6 +106,10 @@ def test_line_fit_checkpoints_validates_and_resumes(tmp_path):
         str(tmp_path / "ck"), first, name="latest", curriculum=cur)
     state2 = payload["state"]
     assert int(state2.step) == 4
+    # the loop iteration is persisted explicitly (state.step is the lesson
+    # step count, which diverges from the iteration clock under no-step /
+    # multi-part lessons — reference base_trainer.py:345 saves iteration)
+    assert int(payload["iteration"]) == 4
     a = jax.tree.leaves(state.main_params)[0]
     b = jax.tree.leaves(state2.main_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -113,7 +117,8 @@ def test_line_fit_checkpoints_validates_and_resumes(tmp_path):
     # continue training from the restored state
     state2 = trainer2.fit(state2, stream(), 6, ckpt=ckpt,
                           save_latest_every=100, swa_state=payload["swa"],
-                          swa_start=2)
+                          swa_start=2,
+                          start_iteration=int(payload["iteration"]))
     assert int(state2.step) == 6
     assert int(trainer2.swa_state["count"]) == 5
 
