@@ -69,6 +69,10 @@ def main(argv=None):
     trocr_valid_mask: tuple = ()
     trocr_preset = args.trocr_preset or "tiny"
     if args.trocr_ckpt:
+        if args.recognizer != "trocr":
+            raise SystemExit(
+                "--trocr-ckpt requires --recognizer trocr: the loaded "
+                f"param tree cannot drive a '{args.recognizer}' recognizer")
         if args.trocr_preset == "tiny":
             raise SystemExit(
                 "--trocr-ckpt holds base-handwritten dims; it cannot load "

@@ -57,4 +57,8 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         return None
+    try:  # cache small entries too (older jax lacks the knob)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     return cache_dir

@@ -39,24 +39,44 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    def _recover_swap(self, path: str) -> None:
+        """Finish a swap that crashed mid-way.  After ``_save_swap`` writes
+        ``<path>.new``, the commit is two renames; a crash between them
+        leaves ``<path>`` missing with the fully-written ``.new`` (orbax
+        finalizes its own tmp dir atomically, so an existing ``.new`` is
+        complete) — promote it rather than treating it as stale."""
+        import shutil
+
+        new, old = f"{path}.new", f"{path}.old"
+        if not os.path.exists(path) and os.path.exists(new):
+            os.rename(new, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
     def _save_swap(self, path: str, payload: Any) -> None:
         """Write the new checkpoint fully before touching the old one: a
         crash (or SIGINT save-in-flight) must never lose the previous
         checkpoint.  orbax refuses to overwrite, so save to ``<path>.new``
-        then swap — the destructive window shrinks from the whole
-        multi-second device->host serialization to an rmtree+rename."""
+        and commit with two renames (old aside, new into place); at every
+        instant either ``<path>`` or a complete ``<path>.new`` exists, and
+        ``_recover_swap`` promotes the latter after a crash."""
+        import glob
         import shutil
 
+        self._recover_swap(path)
         new = f"{path}.new"
-        for stale in (f"{path}.orbax-checkpoint-tmp", new,
-                      f"{new}.orbax-checkpoint-tmp"):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        stale = [new] + glob.glob(f"{path}*.orbax-checkpoint-tmp*")
+        for s in stale:
+            if os.path.exists(s):
+                shutil.rmtree(s)
         self._ckptr.save(new, payload)
         self._ckptr.wait_until_finished()
+        old = f"{path}.old"
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(new, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def save(self, name: str, state: Any, config: WordGanConfig) -> None:
         self._save_swap(self._path(name), state)
@@ -96,6 +116,7 @@ class CheckpointManager:
     def restore(self, name: str, target: Any):
         """Restore into the structure of ``target`` (an abstract or concrete
         state pytree)."""
+        self._recover_swap(self._path(name))
         shapes = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target)
         return self._ckptr.restore(self._path(name), shapes)
@@ -105,6 +126,7 @@ class CheckpointManager:
             return WordGanConfig.from_json(f.read())
 
     def latest_exists(self) -> bool:
+        self._recover_swap(self._path("latest"))
         return os.path.exists(self._path("latest"))
 
 
@@ -151,11 +173,22 @@ def restore_line_trainer(ckpt_dir: str, sample_batch: dict,
               "iteration": jnp.zeros((), jnp.int32)}
     try:
         payload = mgr.restore(name, target)
-    except Exception:
+    except Exception as e:
         # pre-round-3 checkpoints carry no explicit iteration; fall back
-        # to the (under-counting) optimizer step
+        # to the (under-counting) optimizer step.  If the checkpoint fails
+        # even without the iteration slot the problem is real (corruption,
+        # shape mismatch) — surface the ORIGINAL error, not a confusing
+        # missing-iteration one.
         del target["iteration"]
-        payload = mgr.restore(name, target)
+        try:
+            payload = mgr.restore(name, target)
+        except Exception:
+            raise e
+        import sys
+
+        print("warning: checkpoint has no 'iteration' (pre-round-3 "
+              "format); resuming the curriculum clock from state.step, "
+              "which under-counts multi-part lessons", file=sys.stderr)
         payload["iteration"] = payload["state"].step
     if mesh is not None:
         # orbax restored onto the default device; put back on the mesh

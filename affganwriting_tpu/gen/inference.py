@@ -45,8 +45,15 @@ def make_generate_fn(config: WordGanConfig):
         s = style_stack.shape[0]
         if s != b and s != 1:
             # multi-writer stacks: tile so writer i%S styles word i
+            # (jnp.repeat would pair word i with writer i//reps, and any
+            # B % S != 0 must fail loudly, not as a broadcast error)
+            if b % s:
+                raise ValueError(
+                    f"labels batch {b} is not a multiple of the {s} style "
+                    "stacks; pad or trim the word list")
             reps = b // s
-            pyramid = [jnp.repeat(tap, reps, axis=0) for tap in pyramid]
+            pyramid = [jnp.tile(tap, (reps,) + (1,) * (tap.ndim - 1))
+                       for tap in pyramid]
         # s == 1 needs no tiling: the batch-1 pyramid broadcasts through
         # the split mix and the iAFF skip fusion
         return gen.apply(
@@ -78,8 +85,13 @@ def make_generate_and_read_fn(config: WordGanConfig):
         if s != b and s != 1:
             # multi-writer stacks: tile so writer i%S styles word i
             # (batch-1 pyramids broadcast through mix/iAFF — no tiling)
+            if b % s:
+                raise ValueError(
+                    f"labels batch {b} is not a multiple of the {s} style "
+                    "stacks; pad or trim the word list")
             reps = b // s
-            pyramid = [jnp.repeat(tap, reps, axis=0) for tap in pyramid]
+            pyramid = [jnp.tile(tap, (reps,) + (1,) * (tap.ndim - 1))
+                       for tap in pyramid]
         return gen.apply(
             gen_variables, pyramid, labels, train=False, method=gen.generate)
 

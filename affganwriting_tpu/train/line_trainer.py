@@ -665,7 +665,16 @@ class LineGanTrainer:
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        out = {k: v / max(n, 1) for k, v in sums.items()}
+        if n == 0:
+            # no batches (e.g. the valid split has fewer authors than the
+            # batch size): no monitor value — a 0.0 here would be saved as
+            # an unbeatable "best" metric
+            import sys
+
+            print("warning: validation yielded zero batches; skipping "
+                  "val_monitor", file=sys.stderr)
+            return {}
+        out = {k: v / n for k, v in sums.items()}
         # the monitored scalar (lower is better): recon + count quality
         out["val_monitor"] = (out.get("val_auto_l1", 0.0)
                               + out.get("val_count", 0.0))
@@ -700,6 +709,11 @@ class LineGanTrainer:
         # persists self.iteration explicitly (base_trainer.py:345, 444)
         it = int(state.step) if start_iteration is None else \
             int(start_iteration)
+        if swa_state is not None and swa_start is None:
+            # a restored ACTIVE average keeps accumulating on resume even
+            # when the caller didn't re-pass --swa-start; otherwise it
+            # silently freezes while still being validated and saved
+            swa_start = it
         self.swa_state = swa_state
 
         def _payload(s):
@@ -753,7 +767,7 @@ class LineGanTrainer:
                                     for k, v in swa_val.items()})
                     if logger is not None:
                         logger.log(it, val, group="line_valid")
-                    if ckpt is not None:
+                    if ckpt is not None and "val_monitor" in val:
                         ckpt.maybe_save_best(
                             _payload(state), self.config_dict,
                             val["val_monitor"])
@@ -761,7 +775,11 @@ class LineGanTrainer:
                     if it % save_every == 0:
                         ckpt.save_step(_payload(state),
                                        self.config_dict, it)
-                    elif it % save_latest_every == 0:
+                    # not elif: "latest" must refresh on its own cadence
+                    # even when it collides with a periodic save, or a
+                    # crash after the collision resumes from a latest
+                    # that is save_every (not save_latest_every) old
+                    if it % save_latest_every == 0:
                         _save_latest(state)
             _save_latest(state)
         finally:

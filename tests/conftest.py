@@ -26,22 +26,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: repeated suite runs skip recompiles
 # (the cold-run wall time is what the README reports; iteration runs drop
-# to execution-only).  Opt out with AFFG_JAX_CACHE="".  The dir is
-# host-fingerprinted: XLA:CPU persists AOT machine code keyed only by
-# HLO, and reusing it after the VM migrates to a different host CPU
-# model produced a silent wrong-numerics determinism failure.
-from affganwriting_tpu.core.cache import host_tag  # noqa: E402
+# to execution-only).  Opt out with AFFG_JAX_CACHE="".  The CPU test
+# cache lives apart from the TPU CLI cache (core/cache.py's default);
+# host-fingerprinting and the knob set are shared with the CLIs.
+from affganwriting_tpu.core.cache import enable_compile_cache  # noqa: E402
 
-_cache_dir = os.environ.get(
-    "AFFG_JAX_CACHE", os.path.expanduser("~/.cache/affganwriting_jax"))
-if _cache_dir:
-    _cache_dir = os.path.join(_cache_dir, host_tag())
-    try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # older jax without the knobs: cold compiles only
-        pass
+enable_compile_cache(os.environ.get(
+    "AFFG_JAX_CACHE", os.path.expanduser("~/.cache/affganwriting_jax")))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -125,3 +125,77 @@ def test_line_fit_checkpoints_validates_and_resumes(tmp_path):
 
 def test_evaluate_line_cli_importable():
     import affganwriting_tpu.cli.evaluate_line  # noqa: F401
+
+
+def test_swap_crash_recovery(tmp_path):
+    """A crash between the swap's two commit renames leaves only a
+    fully-written '<path>.new'; every reader must promote it instead of
+    deleting it as stale (core/checkpoint.py:_recover_swap)."""
+    ck_dir = tmp_path / "ck"
+    mgr = LineCheckpointManager(str(ck_dir))
+    payload = {"w": jnp.arange(3, dtype=jnp.float32)}
+    cfg = {"lr": 1.0}
+    mgr.save_latest(payload, cfg)
+    # simulate the crash window: 'latest' removed, complete '.new' left
+    os.rename(ck_dir / "latest", ck_dir / "latest.new")
+
+    mgr2 = LineCheckpointManager(str(ck_dir))
+    assert mgr2.latest_exists()   # promoted, not lost
+    restored = mgr2.restore("latest", payload)
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]), np.arange(3, dtype=np.float32))
+
+    # the next save must survive its own swap and leave no residue
+    mgr2.save_latest({"w": jnp.arange(3, dtype=jnp.float32) + 1}, cfg)
+    r2 = mgr2.restore("latest", payload)
+    np.testing.assert_array_equal(
+        np.asarray(r2["w"]), np.arange(3, dtype=np.float32) + 1)
+    assert not os.path.exists(ck_dir / "latest.new")
+    assert not os.path.exists(ck_dir / "latest.old")
+
+
+def test_validate_zero_batches_has_no_monitor():
+    """An empty valid split must not produce val_monitor=0.0 — that would
+    be persisted as an unbeatable 'best' metric."""
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+
+    tr = LineGanTrainer(n_class=10, max_gen_length=32)
+    assert tr.validate(None, iter(())) == {}
+
+
+class _RecordingCkpt:
+    def __init__(self):
+        self.latest, self.steps, self.best = [], [], []
+
+    def save_latest(self, payload, cfg):
+        self.latest.append(int(payload["iteration"]))
+
+    def save_step(self, payload, cfg, it):
+        self.steps.append(it)
+
+    def maybe_save_best(self, payload, cfg, metric):
+        self.best.append(metric)
+
+
+def test_fit_latest_cadence_and_swa_resume(monkeypatch):
+    """'latest' refreshes on its own cadence even when it collides with a
+    periodic save, and a restored ACTIVE SWA average keeps accumulating on
+    resume without re-passing swa_start."""
+    from types import SimpleNamespace
+
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+
+    tr = LineGanTrainer(n_class=10, max_gen_length=32)
+    monkeypatch.setattr(
+        tr, "train_iteration", lambda state, it, batch: (state, {}))
+    state = SimpleNamespace(main_params={"w": jnp.zeros((2,))},
+                            step=jnp.asarray(0, jnp.int32))
+    ck = _RecordingCkpt()
+    swa0 = {"avg": {"w": jnp.ones((2,))}, "count": jnp.asarray(5, jnp.int32)}
+    tr.fit(state, iter(range(5)), 4, ckpt=ck,
+           save_every=2, save_latest_every=1,
+           swa_state=swa0, start_iteration=0)
+    assert ck.steps == [2, 4]
+    # every iteration refreshed latest, INCLUDING the collisions at 2 and 4
+    assert ck.latest[:4] == [1, 2, 3, 4]
+    assert int(tr.swa_state["count"]) == 5 + 4
