@@ -96,6 +96,12 @@ class WordGanConfig:
     rec_embed: int = 60
     attn_filters: int = 128        # K, recognizer location attention
     attn_kernel: int = 7           # R
+    # lax.scan unroll for R's recurrences (BiGRU 13 steps, decoder 11).
+    # 1 = rolled loops (fast compile; CPU tests); the step counts
+    # themselves = straight-line HLO, which XLA pipelines far better on
+    # TPU — the four-player step is latency-bound on these scans
+    # (docs/ARCHITECTURE.md round-3 accounting)
+    rec_scan_unroll: int = 1
     label_smoothing: float = 0.4
     # --- training ---
     optimizer: str = "adam"        # "adam" (reference main_runold.py:244-247)

@@ -53,6 +53,11 @@ class BiGRU(nn.Module):
     layers: int = 2
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    # lax.scan unroll factor for the recurrences.  The sequence is a fixed
+    # 13 columns; full unroll turns each RNN into straight-line HLO so XLA
+    # can software-pipeline the tiny per-step matmuls (the train step is
+    # latency-bound on these scans, docs/ARCHITECTURE.md round-3 table).
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -64,9 +69,9 @@ class BiGRU(nn.Module):
             bwd_cell = nn.GRUCell(self.hidden, dtype=self.dtype,
                                   param_dtype=jnp.float32)
             fwd_carry, fwd = nn.RNN(fwd_cell, name=f"fwd{li}",
-                                    return_carry=True)(h)
+                                    return_carry=True, unroll=self.unroll)(h)
             bwd_carry, bwd = nn.RNN(bwd_cell, name=f"bwd{li}",
-                                    return_carry=True)(
+                                    return_carry=True, unroll=self.unroll)(
                 h, reverse=True, keep_order=True)
             finals_bwd.append(bwd_carry)
             h = jnp.concatenate([fwd, bwd], axis=-1)
@@ -86,6 +91,7 @@ class RecEncoder(nn.Module):
     # BiGRU compute dtype: f32 by default (training numerics over the
     # 13-step recurrence); bf16 is available for inference serving
     rnn_dtype: jnp.dtype = jnp.float32
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, img, *, train: bool = False):
@@ -104,6 +110,7 @@ class RecEncoder(nn.Module):
         seq = feat.transpose(0, 2, 1, 3).reshape(b, w, h * c)
         seq = seq.astype(self.rnn_dtype)
         out, hidden0 = BiGRU(self.hidden, dropout=self.dropout,
-                             dtype=self.rnn_dtype, name="rnn")(
+                             dtype=self.rnn_dtype, unroll=self.unroll,
+                             name="rnn")(
             seq, train=train)
         return out, hidden0

@@ -80,10 +80,14 @@ class Recognizer(nn.Module):
     output_max_len: int = 12
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.bfloat16
+    # scan unroll for the BiGRU encoder and the decoder scan; the step
+    # counts are small static constants (13 / 11), so full unroll turns
+    # the recurrences into straight-line HLO (see config.rec_scan_unroll)
+    unroll: int = 1
 
     def setup(self):
         self.enc = RecEncoder(self.hidden, self.dropout, self.dtype,
-                              name="enc")
+                              unroll=self.unroll, name="enc")
         self.dec = DecoderCell(self.vocab_size, self.hidden, self.embed_dim,
                                self.dropout, name="dec")
 
@@ -119,6 +123,7 @@ class Recognizer(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=0,
+            unroll=min(self.unroll, steps),
         )
 
         init_attn = jnp.zeros((b, enc_out.shape[1]), dtype=jnp.float32)

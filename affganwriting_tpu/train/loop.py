@@ -29,7 +29,7 @@ from affganwriting_tpu.data.words import WordStyleDataset
 from affganwriting_tpu.eval.cer import CERAccumulator, cer_counts
 from affganwriting_tpu.train.eval_step import make_eval_step
 from affganwriting_tpu.train.state import init_state
-from affganwriting_tpu.train.step import make_train_step
+from affganwriting_tpu.train.step import make_phased_train_step
 from affganwriting_tpu.utils.logging import MetricsLogger
 
 
@@ -99,7 +99,10 @@ class WordGanTrainer:
                     f"mesh 'data' axis ({n_data})")
 
         self.state = init_state(config, jax.random.key(seed))
-        self.train_step = jax.jit(make_train_step(config), donate_argnums=0)
+        # four chained programs, not one: the monolithic step is an XLA
+        # scheduling pathology on TPU (19x slower at batch 64 — see
+        # train/step.py:make_phased_train_step and docs/ARCHITECTURE.md)
+        self.train_step = make_phased_train_step(config)
         self.eval_step = make_eval_step(config)
         self.start_epoch = 0
         if self.ckpt.latest_exists():

@@ -57,7 +57,7 @@ def build_recognizer(config: WordGanConfig, dtype=None):
     if config.recognizer == "seq2seq":
         return Recognizer(config.vocab_size, config.rec_hidden,
                           config.rec_embed, config.output_max_len,
-                          dtype=dtype)
+                          dtype=dtype, unroll=config.rec_scan_unroll)
     if config.recognizer == "trocr":
         from affganwriting_tpu.models.recognizer.trocr import (
             TrOCRArch,

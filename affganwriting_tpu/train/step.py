@@ -12,6 +12,23 @@ reference's single-GPU step in expectation.
 Update ordering matches the reference: each later phase sees the params the
 earlier phases just wrote (R first, then C, then D, then G against the
 freshly updated D/C/R).
+
+TPU latency engineering (round 3): the step is latency-bound, not
+compute-bound (0.9% MFU at batch 64, docs/ARCHITECTURE.md) — the fix is
+fewer, fatter programs, with semantics preserved:
+
+* the generator pair forward runs ONCE via ``jax.vjp`` and serves both the
+  D phase (stop-gradient fakes) and the G phase (pulled-back image
+  cotangents) — the reference recomputes G's forward in dis_update
+  (network_tro.py:116-117) purely because autograd made that convenient;
+* D and the writer classifier contain no batch-coupled ops (norm="none"
+  throughout, modules_tro.py:119-201), so their repeated per-image calls
+  concat into single batched calls — exactly equal, per sample;
+* R's VGG trunk has BatchNorm, so the two fake-word R calls merge with
+  ``jax.vmap`` over the word axis: one compiled body at double batch,
+  per-word batch statistics and dropout keys identical to two separate
+  calls (matching network_tro.py:84-96, which scores xt and xt_swap
+  independently).
 """
 
 from __future__ import annotations
@@ -35,13 +52,6 @@ def make_train_step(config: WordGanConfig):
     gen, dis, cla, rec = build_models(config)
     opts = make_optimizers(config)
 
-    def gen_forward(gen_params, gen_stats, labels, style, *, mutable):
-        variables = {"params": gen_params, "batch_stats": gen_stats}
-        return gen.apply(
-            variables, style, labels, train=True,
-            mutable=["batch_stats"] if mutable else False,
-        )
-
     def train_step(state: WordGanState, batch: dict[str, Any], rng: jax.Array):
         style = batch["style_imgs"]          # (B, 64, 216, 50)
         img_ch0 = style[..., 0:1]
@@ -51,6 +61,7 @@ def make_train_step(config: WordGanConfig):
         label_xt = batch["label_xt"]
         label_xt_swap = batch["label_xt_swap"]
         rng_rec, rng_gen = jax.random.split(rng)
+        b = style.shape[0]
 
         metrics = {}
 
@@ -94,19 +105,30 @@ def make_train_step(config: WordGanConfig):
             lambda p, u: p + u, state.cla.params, cla_upd)
         metrics["l_cla_tr"] = l_cla_tr
 
-        # ---- generate fakes once for the D phase (no grad through G) ----
-        (xg_sg, xg_swap_sg) = jax.lax.stop_gradient(_generate_pair(
-            gen, state.gen.params, state.gen.stats, style,
-            label_xt, label_xt_swap))
+        # ---- generate both target words ONCE (jax.vjp): the primal
+        # serves the D phase, the vjp closure the G phase -------------------
+        def pair_fwd(gen_params):
+            (xg, xg_swap), updates = _generate_pair(
+                gen, gen_params, state.gen.stats, style,
+                label_xt, label_xt_swap, mutable=True)
+            return jnp.stack([xg, xg_swap]), updates["batch_stats"]
+
+        pair, gen_vjp, gen_stats = jax.vjp(
+            pair_fwd, state.gen.params, has_aux=True)
+        pair_sg = jax.lax.stop_gradient(pair)    # (2, B, H, W, 1)
 
         # ---- phase 3: discriminator --------------------------------------
+        # one batched D call over [real ch0, real ch1, fake xt, fake swap]
         def dis_loss_fn(dis_params):
-            def d(x):
-                return dis.apply({"params": dis_params}, x, train=True)
-            l_real = 0.5 * (losses.dis_real_loss(d(img_ch0))
-                            + losses.dis_real_loss(d(img_ch1)))
-            l_fake = 0.5 * (losses.dis_fake_loss(d(xg_sg))
-                            + losses.dis_fake_loss(d(xg_swap_sg)))
+            quad = jnp.concatenate(
+                [img_ch0, img_ch1, pair_sg[0], pair_sg[1]], axis=0)
+            s = dis.apply({"params": dis_params}, quad, train=True)
+            s_r0, s_r1, s_f0, s_f1 = (s[:b], s[b:2 * b], s[2 * b:3 * b],
+                                      s[3 * b:])
+            l_real = 0.5 * (losses.dis_real_loss(s_r0)
+                            + losses.dis_real_loss(s_r1))
+            l_fake = 0.5 * (losses.dis_fake_loss(s_f0)
+                            + losses.dis_fake_loss(s_f1))
             return l_real + l_fake
 
         l_dis_tr, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis.params)
@@ -117,22 +139,32 @@ def make_train_step(config: WordGanConfig):
         metrics["l_dis_tr"] = l_dis_tr
 
         # ---- phase 4: generator (adv + writer + recognition) ------------
-        def gen_loss_fn(gen_params):
-            (xg, xg_swap), updates = _generate_pair(
-                gen, gen_params, state.gen.stats, style,
-                label_xt, label_xt_swap, mutable=True)
+        # differentiated w.r.t. the generated image pair; the cotangent is
+        # pulled back through the shared forward with gen_vjp
+        def heads_loss(pair_in):
+            xg, xg_swap = pair_in[0], pair_in[1]
+            both = pair_in.reshape((2 * b,) + pair_in.shape[2:])
 
-            def d(x):
-                return dis.apply({"params": dis_params}, x, train=True)
+            d_s = dis.apply({"params": dis_params}, both, train=True)
+            l_dis = 0.5 * (losses.gen_adv_loss(d_s[:b])
+                           + losses.gen_adv_loss(d_s[b:]))
 
-            def c(x):
-                return cla.apply({"params": cla_params}, x, train=True)
+            c_s = cla.apply({"params": cla_params}, both, train=True)
+            l_cla = 0.5 * (losses.writer_ce_loss(c_s[:b], writer_ids)
+                           + losses.writer_ce_loss(c_s[b:], writer_ids))
 
-            def r(x, lab, key):
+            if config.oov:
+                l_l1 = jnp.zeros((), jnp.float32)
+            else:
+                l_l1 = losses.recon_l1(xg, batch["img_xt"])
+
+            k1, k2 = jax.random.split(rng_gen)
+
+            def r_one(x, lab, key):
                 # train-mode forward; stat updates discarded (R's running
                 # averages advance only in its own phase).  Grads flow to
-                # the image (hence to G) but R's params see stop_gradient
-                # here — they are not the differentiated argument.
+                # the image (hence to G); R's params are closed over, not
+                # the differentiated argument.
                 (logits, _), _ = rec.apply(
                     {"params": rec_params, "batch_stats": rec_stats},
                     x, lab, train=True, rngs={"dropout": key},
@@ -140,43 +172,37 @@ def make_train_step(config: WordGanConfig):
                 )
                 return logits
 
-            l_dis = 0.5 * (losses.gen_adv_loss(d(xg))
-                           + losses.gen_adv_loss(d(xg_swap)))
-            l_cla = 0.5 * (losses.writer_ce_loss(c(xg), writer_ids)
-                           + losses.writer_ce_loss(c(xg_swap), writer_ids))
-            if config.oov:
-                l_l1 = jnp.zeros((), jnp.float32)
-            else:
-                l_l1 = losses.recon_l1(xg, batch["img_xt"])
-            k1, k2 = jax.random.split(rng_gen)
-            logits_xt = r(xg, label_xt, k1)
-            logits_swap = r(xg_swap, label_xt_swap, k2)
+            # vmap over the word axis: per-word BatchNorm batch statistics
+            # and dropout keys match two separate calls exactly
+            logits_pair = jax.vmap(r_one)(
+                pair_in,
+                jnp.stack([label_xt, label_xt_swap]),
+                jnp.stack([k1, k2]))
             l_rec = 0.5 * (
-                losses.rec_loss(logits_xt, label_xt, config.label_smoothing)
+                losses.rec_loss(
+                    logits_pair[0], label_xt, config.label_smoothing)
                 + losses.rec_loss(
-                    logits_swap, label_xt_swap, config.label_smoothing))
+                    logits_pair[1], label_xt_swap, config.label_smoothing))
+
             total = (config.w_dis * l_dis + config.w_cla * l_cla
                      + config.w_l1 * l_l1 + config.w_rec * l_rec)
             aux = {
                 "l_dis": l_dis, "l_cla": l_cla, "l_l1": l_l1,
                 "l_rec": l_rec, "l_total": total,
-                "gen_stats": updates["batch_stats"],
-                "logits_xt": logits_xt,
-                "logits_swap": logits_swap,
-                "xg": xg,
+                "logits_xt": logits_pair[0],
+                "logits_swap": logits_pair[1],
             }
             return total, aux
 
-        (_, aux), gen_grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(state.gen.params)
+        (_, aux), pair_bar = jax.value_and_grad(
+            heads_loss, has_aux=True)(pair)
+        (gen_grads,) = gen_vjp(pair_bar)
         gen_upd, gen_opt = opts["gen"].update(
             gen_grads, state.gen.opt_state, state.gen.params)
         gen_params = jax.tree.map(
             lambda p, u: p + u, state.gen.params, gen_upd)
-        gen_stats = aux.pop("gen_stats")
         logits_xt = aux.pop("logits_xt")
         logits_swap = aux.pop("logits_swap")
-        xg = aux.pop("xg")
         metrics.update(aux)
 
         new_state = WordGanState(
@@ -190,11 +216,181 @@ def make_train_step(config: WordGanConfig):
             "rec_logits_tr": rec_logits_tr,
             "logits_xt": logits_xt,
             "logits_swap": logits_swap,
-            "xg": xg,
+            "xg": pair_sg[0],
         }
         return new_state, metrics, extras
 
     return train_step
+
+
+def make_phased_train_step(config: WordGanConfig):
+    """The same four-player update as ``make_train_step`` split into FOUR
+    jitted programs chained on the host (R, C, D, G), state device-resident
+    throughout.
+
+    Why this exists: the single-program step is an XLA scheduling
+    pathology on TPU — measured 3.8 s/step at batch 64 on v5e while its
+    four phases, compiled separately, sum to ~0.19 s (docs/ARCHITECTURE.md
+    round-3 accounting).  Chaining four programs costs four dispatches
+    (~2 ms each, async) and buys a 19x step-rate win: 315 imgs/s vs 16.7.
+    Semantics are the monolith's: same phase ordering (each phase sees the
+    params the earlier phases wrote), same per-word BatchNorm statistics,
+    same optimizer updates; the one re-computation is G's pair forward in
+    the D phase (the vjp residuals cannot cross a program boundary), which
+    mirrors the reference's own recompute (network_tro.py:116-117).
+
+    Returns ``step(state, batch, rng) -> (state, metrics, extras)`` with
+    the same contract as the monolith.  Use the monolith where ONE program
+    is required (the driver's sharded-compile checks); use this in
+    trainers.
+    """
+    gen, dis, cla, rec = build_models(config)
+    opts = make_optimizers(config)
+
+    def phase_rec(rec_player: PlayerState, img_ch0, labels_ch0, rng):
+        def loss_fn(p):
+            (logits, _), upd = rec.apply(
+                {"params": p, "batch_stats": rec_player.stats},
+                img_ch0, labels_ch0, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            return (losses.rec_loss(
+                logits, labels_ch0, config.label_smoothing),
+                (upd.get("batch_stats", {}), logits))
+
+        if config.rec_frozen:
+            l, (new_stats, logits) = loss_fn(rec_player.params)
+            return (PlayerState(rec_player.params, new_stats,
+                                rec_player.opt_state), l, logits)
+        (l, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(rec_player.params)
+        u, new_opt = opts["rec"].update(
+            grads, rec_player.opt_state, rec_player.params)
+        new_params = jax.tree.map(lambda p, q: p + q, rec_player.params, u)
+        return PlayerState(new_params, new_stats, new_opt), l, logits
+
+    def phase_cla(cla_player: PlayerState, img_ch0, writer_ids):
+        def loss_fn(p):
+            return losses.writer_ce_loss(
+                cla.apply({"params": p}, img_ch0, train=True), writer_ids)
+
+        l, grads = jax.value_and_grad(loss_fn)(cla_player.params)
+        u, new_opt = opts["cla"].update(
+            grads, cla_player.opt_state, cla_player.params)
+        new_params = jax.tree.map(lambda p, q: p + q, cla_player.params, u)
+        return PlayerState(new_params, cla_player.stats, new_opt), l
+
+    def phase_dis(dis_player: PlayerState, gen_params, gen_stats, style,
+                  label_xt, label_xt_swap):
+        img_ch0 = style[..., 0:1]
+        img_ch1 = style[..., 1:2]
+        b = style.shape[0]
+        xg, xg_swap = jax.lax.stop_gradient(_generate_pair(
+            gen, gen_params, gen_stats, style, label_xt, label_xt_swap))
+
+        def loss_fn(p):
+            quad = jnp.concatenate([img_ch0, img_ch1, xg, xg_swap], axis=0)
+            s = dis.apply({"params": p}, quad, train=True)
+            l_real = 0.5 * (losses.dis_real_loss(s[:b])
+                            + losses.dis_real_loss(s[b:2 * b]))
+            l_fake = 0.5 * (losses.dis_fake_loss(s[2 * b:3 * b])
+                            + losses.dis_fake_loss(s[3 * b:]))
+            return l_real + l_fake
+
+        l, grads = jax.value_and_grad(loss_fn)(dis_player.params)
+        u, new_opt = opts["dis"].update(
+            grads, dis_player.opt_state, dis_player.params)
+        new_params = jax.tree.map(lambda p, q: p + q, dis_player.params, u)
+        return PlayerState(new_params, dis_player.stats, new_opt), l
+
+    def phase_gen(gen_player: PlayerState, dis_params, cla_params,
+                  rec_params, rec_stats, batch, rng):
+        style = batch["style_imgs"]
+        label_xt = batch["label_xt"]
+        label_xt_swap = batch["label_xt_swap"]
+        writer_ids = batch["writer_ids"]
+        b = style.shape[0]
+
+        def loss_fn(gp):
+            (xg, xg_swap), upd = _generate_pair(
+                gen, gp, gen_player.stats, style, label_xt, label_xt_swap,
+                mutable=True)
+            pair = jnp.stack([xg, xg_swap])
+            both = pair.reshape((2 * b,) + pair.shape[2:])
+            d_s = dis.apply({"params": dis_params}, both, train=True)
+            l_dis = 0.5 * (losses.gen_adv_loss(d_s[:b])
+                           + losses.gen_adv_loss(d_s[b:]))
+            c_s = cla.apply({"params": cla_params}, both, train=True)
+            l_cla = 0.5 * (losses.writer_ce_loss(c_s[:b], writer_ids)
+                           + losses.writer_ce_loss(c_s[b:], writer_ids))
+            if config.oov:
+                l_l1 = jnp.zeros((), jnp.float32)
+            else:
+                l_l1 = losses.recon_l1(xg, batch["img_xt"])
+            k1, k2 = jax.random.split(rng)
+
+            def r_one(x, lab, key):
+                (logits, _), _ = rec.apply(
+                    {"params": rec_params, "batch_stats": rec_stats},
+                    x, lab, train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"])
+                return logits
+
+            lp = jax.vmap(r_one)(
+                pair, jnp.stack([label_xt, label_xt_swap]),
+                jnp.stack([k1, k2]))
+            l_rec = 0.5 * (
+                losses.rec_loss(lp[0], label_xt, config.label_smoothing)
+                + losses.rec_loss(
+                    lp[1], label_xt_swap, config.label_smoothing))
+            total = (config.w_dis * l_dis + config.w_cla * l_cla
+                     + config.w_l1 * l_l1 + config.w_rec * l_rec)
+            aux = {"l_dis": l_dis, "l_cla": l_cla, "l_l1": l_l1,
+                   "l_rec": l_rec, "l_total": total,
+                   "stats": upd["batch_stats"],
+                   "logits_xt": lp[0], "logits_swap": lp[1], "xg": xg}
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(gen_player.params)
+        u, new_opt = opts["gen"].update(
+            grads, gen_player.opt_state, gen_player.params)
+        new_params = jax.tree.map(lambda p, q: p + q, gen_player.params, u)
+        new_stats = aux.pop("stats")
+        return PlayerState(new_params, new_stats, new_opt), aux
+
+    # donate the per-player state flowing through each program so optimizer
+    # moments / params update in place in HBM
+    jit_rec = jax.jit(phase_rec, donate_argnums=0)
+    jit_cla = jax.jit(phase_cla, donate_argnums=0)
+    jit_dis = jax.jit(phase_dis, donate_argnums=0)
+    jit_gen = jax.jit(phase_gen, donate_argnums=0)
+
+    def step(state: WordGanState, batch: dict[str, Any], rng: jax.Array):
+        rng_rec, rng_gen = jax.random.split(rng)
+        style = batch["style_imgs"]
+        img_ch0 = style[..., 0:1]
+        rec_p, l_rec_tr, rec_logits_tr = jit_rec(
+            state.rec, img_ch0, batch["label_ch0"], rng_rec)
+        cla_p, l_cla_tr = jit_cla(state.cla, img_ch0, batch["writer_ids"])
+        dis_p, l_dis_tr = jit_dis(
+            state.dis, state.gen.params, state.gen.stats, style,
+            batch["label_xt"], batch["label_xt_swap"])
+        gen_p, aux = jit_gen(
+            state.gen, dis_p.params, cla_p.params, rec_p.params,
+            rec_p.stats, batch, rng_gen)
+        logits_xt = aux.pop("logits_xt")
+        logits_swap = aux.pop("logits_swap")
+        xg = aux.pop("xg")
+        metrics = {"l_rec_tr": l_rec_tr, "l_cla_tr": l_cla_tr,
+                   "l_dis_tr": l_dis_tr, **aux}
+        new_state = WordGanState(
+            step=state.step + 1, gen=gen_p, dis=dis_p, cla=cla_p,
+            rec=rec_p)
+        extras = {"rec_logits_tr": rec_logits_tr, "logits_xt": logits_xt,
+                  "logits_swap": logits_swap, "xg": xg}
+        return new_state, metrics, extras
+
+    return step
 
 
 def _generate_pair(gen, gen_params, gen_stats, style, label_xt,
@@ -202,13 +398,6 @@ def _generate_pair(gen, gen_params, gen_stats, style, label_xt,
     """Encode the style stack once, decode both target words
     (network_tro.py:60-74: xg and xg_swap share the style pyramid)."""
     variables = {"params": gen_params, "batch_stats": gen_stats}
-
-    def fwd(v):
-        pyramid = gen.apply(v, style, train=True, method=gen.encode_style)
-        xg = gen.apply(v, pyramid, label_xt, train=True, method=gen.generate)
-        xg_swap = gen.apply(
-            v, pyramid, label_xt_swap, train=True, method=gen.generate)
-        return xg, xg_swap
 
     if not mutable:
         # run in train mode but discard stat updates (the reference's

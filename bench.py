@@ -177,11 +177,13 @@ def _train_setup(batch):
 
     from affganwriting_tpu.core.config import VOCAB, default_config
     from affganwriting_tpu.train.state import init_state
-    from affganwriting_tpu.train.step import make_train_step
+    from affganwriting_tpu.train.step import make_phased_train_step
 
     cfg = default_config().replace(batch_size=batch)
     state = init_state(cfg, jax.random.key(0))
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    # the trainer's actual step: four chained programs (19x the monolith's
+    # rate on TPU, train/step.py:make_phased_train_step)
+    step = make_phased_train_step(cfg)
 
     rng = np.random.default_rng(0)
     lab = lambda w: VOCAB.pad_label(w, cfg.output_max_len)  # noqa: E731
@@ -209,6 +211,11 @@ def _run_train_step(batch: int, n_stream: int = 10) -> dict:
     import jax
 
     state, step, batch_d = _train_setup(batch)
+    # device-resident batch (same methodology as _stream_styles): the
+    # jit would otherwise re-upload ~2.8 MB/img through the tunnel per
+    # call, which times the link, not the step
+    batch_d = jax.device_put(batch_d)
+    jax.block_until_ready(batch_d)
     key = jax.random.key(1)
 
     # warm (compile)

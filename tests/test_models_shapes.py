@@ -115,3 +115,40 @@ def test_recognizer_teacher_forcing_runs():
         mutable=["batch_stats"],
     )[0]
     assert logits.shape == (B, 11, 55)
+
+
+def test_vmap_word_merge_is_per_slice_pure():
+    """The train step merges the two fake-word R calls with jax.vmap
+    (train/step.py heads_loss).  That is only sound if batch-coupled ops
+    (BatchNorm batch statistics) stay per-slice under vmap: slice 1's
+    input must not influence slice 0's output, and identical slices must
+    produce identical outputs."""
+    import flax.linen as nn
+
+    class TinyBNTrunk(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(2):
+                x = nn.Conv(8, (3, 3), name=f"c{i}")(x)
+                x = nn.BatchNorm(use_running_average=False,
+                                 name=f"bn{i}")(x)
+                x = nn.relu(x)
+            return x
+
+    t = TinyBNTrunk()
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(2, 8, 12, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 8, 12, 1)), jnp.float32)
+    x3 = jnp.asarray(rng.normal(size=(2, 8, 12, 1)), jnp.float32)
+    v = t.init(jax.random.key(0), x1)
+
+    def one(x):
+        y, _ = t.apply(v, x, mutable=["batch_stats"])
+        return y
+
+    f = jax.jit(lambda s: jax.vmap(one)(s))
+    a = f(jnp.stack([x1, x2]))
+    b = f(jnp.stack([x1, x3]))
+    assert float(jnp.max(jnp.abs(a[0] - b[0]))) == 0.0
+    c = f(jnp.stack([x1, x1]))
+    assert float(jnp.max(jnp.abs(c[0] - c[1]))) == 0.0

@@ -98,3 +98,35 @@ def test_sharded_step_runs_on_mesh():
     new_state, metrics, _ = step(state, batch, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_phased_step_matches_monolith(setup):
+    """make_phased_train_step is the SAME update as make_train_step, split
+    into four chained programs (the TPU-fast trainer path).  Metrics must
+    agree up to float reassociation — R free-runs on the fakes, so an
+    fp-epsilon change can flip a greedy argmax and discretely move l_rec
+    (the same sensitivity the reference has under cudnn.benchmark); the
+    tolerance reflects that, and updated params must move identically to
+    first order."""
+    from affganwriting_tpu.train.step import make_phased_train_step
+
+    _, step = setup
+    batch = _batch()
+    # fresh state: the fixture's may hold donated buffers on some backends
+    s1, m1, e1 = step(init_state(CFG, jax.random.key(0)), batch,
+                      jax.random.key(3))
+
+    state2 = init_state(CFG, jax.random.key(0))
+    phased = make_phased_train_step(CFG)
+    s2, m2, e2 = phased(state2, batch, jax.random.key(3))
+
+    for k in m1:
+        a, b = float(m1[k]), float(m2[k])
+        assert abs(a - b) / (abs(a) + 1e-9) < 2e-2, (k, a, b)
+    assert e2["xg"].shape == e1["xg"].shape
+    assert int(s2.step) == 1
+    # all four players moved
+    for name in ("gen", "dis", "cla", "rec"):
+        p1 = jax.tree.leaves(getattr(s2, name).params)[0]
+        p0 = jax.tree.leaves(getattr(state2, name).params)[0]
+        assert not np.allclose(np.asarray(p1), np.asarray(p0)), name
