@@ -50,19 +50,25 @@ def _fetch_floor_ms(iters: int = 15) -> float:
     return 1000.0 * sorted(times)[len(times) // 2]
 
 
+def _sync(out) -> float:
+    """Prove execution with a SCALAR fetch: index the device array down to
+    one element on-device first.  ``np.asarray(tensor)`` would drag the
+    whole buffer through the tunnel's ~6 MB/s readback — that cost belongs
+    to the explicit ``+fetch`` variant only.  (block_until_ready does not
+    prove execution on this runtime; a value fetch does.)"""
+    x = out[0] if isinstance(out, (tuple, list)) else out
+    return float(np.asarray(x[(0,) * getattr(x, "ndim", 0)]))
+
+
 def _median_rate(fn, args, batch, iters=20, vary=None):
-    """Median per-call throughput with a forced value fetch per call."""
-    out = fn(*args)
-    first = out[0] if isinstance(out, tuple) else out
-    float(np.asarray(first).ravel()[0])   # materialize warmup
+    """Median per-call throughput with a forced (scalar) sync per call."""
+    _sync(fn(*args))   # warmup
 
     times = []
     for i in range(iters):
         a = vary(args, i) if vary is not None else args
         t0 = time.perf_counter()
-        out = fn(*a)
-        first = out[0] if isinstance(out, tuple) else out
-        float(np.asarray(first).ravel()[0])
+        _sync(fn(*a))
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     return batch / dt
@@ -128,14 +134,13 @@ def _run_gen_read(batch: int) -> dict:
 
     styles = _stream_styles(style, N_STREAM)
     # warm the program
-    out = fn(gen_vars, rec_vars, styles[0], labels)
-    float(np.asarray(out[1]).ravel()[0])
+    _sync(fn(gen_vars, rec_vars, styles[0], labels)[1])
 
     # (a) streaming, preds only: the recognition-filter sweep
     t0 = time.perf_counter()
     preds = [fn(gen_vars, rec_vars, s, labels)[1] for s in styles]
     for p in preds:
-        float(np.asarray(p).ravel()[0])   # drain the stream
+        _sync(p)   # drain the stream
     stream = N_STREAM * batch / (time.perf_counter() - t0)
 
     # (b) streaming + full image readback (the reference writes every PNG:
@@ -145,8 +150,8 @@ def _run_gen_read(batch: int) -> dict:
     outs = [fn(gen_vars, rec_vars, s, labels) for s in styles]
     total = 0
     for imgs, p in outs:
-        total += np.asarray(imgs).nbytes
-        float(np.asarray(p).ravel()[0])
+        total += np.asarray(imgs).nbytes   # FULL image readback, by design
+        _sync(p)
     dt = time.perf_counter() - t0
     fetch_stream = N_STREAM * batch / dt
     return {"stream": stream, "fetch_stream": fetch_stream,
@@ -162,12 +167,11 @@ def _run_gen_only(batch: int) -> dict:
     percall = _median_rate(
         fn, (gen_vars, style, labels), batch, vary=_vary_style)
     styles = _stream_styles(style, N_STREAM)
-    out = fn(gen_vars, styles[0], labels)
-    float(np.asarray(out).ravel()[0])
+    _sync(fn(gen_vars, styles[0], labels))
     t0 = time.perf_counter()
     outs = [fn(gen_vars, s, labels) for s in styles]
     for o in outs:
-        float(np.asarray(o).ravel()[0])
+        _sync(o)
     stream = N_STREAM * batch / (time.perf_counter() - t0)
     return {"stream": stream, "percall": percall}
 
@@ -281,7 +285,7 @@ def main():
             extra["gen_only_percall_imgs_per_sec"] = round(
                 gen_only["percall"], 1)
             extra["gen_only_batch"] = b_g
-        train, b_t = _try(_run_train_step, [64, 32, 8])
+        train, b_t = _try(_run_train_step, [256, 64, 8])
         if train is not None:
             extra["train_stream_imgs_per_sec"] = round(train["stream"], 1)
             extra["train_percall_imgs_per_sec"] = round(train["percall"], 1)
