@@ -33,17 +33,22 @@ PEAK_FLOPS = 197e12
 PEAK_HBM = 819e9
 
 
+def _sync(out) -> float:
+    """Scalar-index the device array before fetching: np.asarray on a full
+    output tensor drags it through the ~6 MB/s tunnel readback and times
+    the link, not the chip (bench.py:_sync has the same contract)."""
+    x = out[0] if isinstance(out, (tuple, list)) else out
+    return float(np.asarray(x[(0,) * getattr(x, "ndim", 0)]))
+
+
 def _stream_time(fn, args_a, args_b, n: int) -> float:
     """Seconds per call, streaming: dispatch n alternating calls
     back-to-back, fetch one scalar from the last output."""
-    out = fn(*args_a)
-    first = out[0] if isinstance(out, (tuple, list)) else out
-    float(np.asarray(first).ravel()[0])      # compile + warm
+    _sync(fn(*args_a))                       # compile + warm
     t0 = time.perf_counter()
     for i in range(n):
         out = fn(*(args_a if i % 2 == 0 else args_b))
-        first = out[0] if isinstance(out, (tuple, list)) else out
-    float(np.asarray(first).ravel()[0])      # drain
+    _sync(out)                               # drain
     return (time.perf_counter() - t0) / n
 
 
