@@ -578,7 +578,7 @@ class LineGanTrainer:
                 np.asarray(batch["label_lengths"]))
             state, m = self.count_step(
                 state, image, label, lengths, self._put(gt), key)
-            metrics.update({k: float(v) for k, v in m.items()})
+            metrics.update(m)   # device scalars; materialized at log time
         if "auto" in lesson or "auto-gen" in lesson:
             spaced = self.spaced_label(state, batch)
             # pad/crop spaced to the static generator length
@@ -596,7 +596,7 @@ class LineGanTrainer:
             else:
                 state, m, style = self.auto_step(
                     state, image, label, lengths, spaced_onehot, key, fg)
-            metrics.update({k: float(v) for k, v in m.items()})
+            metrics.update(m)   # device scalars; materialized at log time
             self.style_bank.add(np.asarray(style))
         if "gen" in lesson or "disc" in lesson:
             style = self.style_bank.sample(image.shape[0])
@@ -615,11 +615,11 @@ class LineGanTrainer:
                 # the update (curriculum token, hw_with_style_trainer.py)
                 if "no-step" not in lesson:
                     state = new_state
-                metrics.update({k: float(v) for k, v in m.items()})
+                metrics.update(m)   # device scalars; materialized at log time
             if "disc" in lesson:
                 state, m = self.disc_step(
                     state, image, label, lengths, style, key)
-                metrics.update({k: float(v) for k, v in m.items()})
+                metrics.update(m)   # device scalars; materialized at log time
         return state, metrics
 
     @classmethod
@@ -752,7 +752,11 @@ class LineGanTrainer:
                     self.swa_state = swa_update(
                         self.swa_state, state.main_params)
                 if logger is not None and it % log_every == 0:
-                    logger.log(it, metrics, group="line_train")
+                    # metrics stay device scalars through the loop so the
+                    # tunnel sync (~26 ms floor) is paid per log_every,
+                    # not per iteration (train_iteration dispatches async)
+                    logger.log(it, {k: float(v) for k, v in metrics.items()},
+                               group="line_train")
                 if (val_every and val_batches_fn is not None
                         and it % val_every == 0):
                     val = self.validate(state, val_batches_fn(),
