@@ -152,7 +152,16 @@ def main(argv=None):
             last = metrics["l_total"]
         float(np.asarray(last))
         sec = (time.perf_counter() - t0) / args.n_stream
-        cost = _cost(step_fn, state, batch_d, key)
+        # step_fn is the phased (host-chained) step and has no .lower();
+        # the monolith computes the same math, so its cost model stands in
+        # for the FLOP/byte counts (compile is disk-cached)
+        import jax as _jax
+
+        from affganwriting_tpu.core.config import default_config as _dc
+        from affganwriting_tpu.train.step import make_train_step as _mts
+
+        mono = _jax.jit(_mts(_dc().replace(batch_size=tb)))
+        cost = _cost(mono, state, batch_d, key)
         print(json.dumps({
             "stage": "train_step",
             "batch": tb,

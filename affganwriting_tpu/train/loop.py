@@ -171,18 +171,28 @@ class WordGanTrainer:
         cer_te2 = CERAccumulator()
         sums: dict[str, float] = {}
         n = 0
+        # dispatch every eval batch before fetching anything (same
+        # pipelining as train_epoch: a float per batch would pay the
+        # tunnel sync floor per batch)
+        pending: list[tuple[dict, dict, dict]] = []
+        first = None
         for batch in self.test_data.batches(epoch=epoch, shuffle=False):
             metrics, preds, images = self.eval_step(
                 self.state, self._place(batch))
             if n == 0:
-                self._dump_sheet(epoch, batch, preds, images)
+                first = (batch, preds, images)
+            labels = {k: batch[k] for k in ("label_xt", "label_xt_swap")}
+            pending.append((metrics, preds, labels))
+            n += 1
+        if first is not None:
+            self._dump_sheet(epoch, first[0], first[1], first[2])
+        for metrics, preds, labels in pending:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-            ed, ln = cer_counts(preds["pred_xt"], batch["label_xt"])
+            ed, ln = cer_counts(preds["pred_xt"], labels["label_xt"])
             cer_te.ed += int(ed)
             cer_te.length += int(ln)
-            ed, ln = cer_counts(preds["pred_swap"], batch["label_xt_swap"])
+            ed, ln = cer_counts(preds["pred_swap"], labels["label_xt_swap"])
             cer_te2.ed += int(ed)
             cer_te2.length += int(ln)
         out = {k: v / max(n, 1) for k, v in sums.items()}

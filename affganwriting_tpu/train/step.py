@@ -13,22 +13,19 @@ Update ordering matches the reference: each later phase sees the params the
 earlier phases just wrote (R first, then C, then D, then G against the
 freshly updated D/C/R).
 
-TPU latency engineering (round 3): the step is latency-bound, not
-compute-bound (0.9% MFU at batch 64, docs/ARCHITECTURE.md) — the fix is
-fewer, fatter programs, with semantics preserved:
+Two step factories:
 
-* the generator pair forward runs ONCE via ``jax.vjp`` and serves both the
-  D phase (stop-gradient fakes) and the G phase (pulled-back image
-  cotangents) — the reference recomputes G's forward in dis_update
-  (network_tro.py:116-117) purely because autograd made that convenient;
-* D and the writer classifier contain no batch-coupled ops (norm="none"
-  throughout, modules_tro.py:119-201), so their repeated per-image calls
-  concat into single batched calls — exactly equal, per sample;
-* R's VGG trunk has BatchNorm, so the two fake-word R calls merge with
-  ``jax.vmap`` over the word axis: one compiled body at double batch,
-  per-word batch statistics and dropout keys identical to two separate
-  calls (matching network_tro.py:84-96, which scores xt and xt_swap
-  independently).
+* ``make_train_step`` — the whole update as ONE program.  Use where a
+  single jitted/sharded program is required (the driver's multi-chip
+  compile checks, the DP-equivalence test).  On real TPU it is an XLA
+  scheduling pathology (~19x slower than its parts at batch 64,
+  docs/ARCHITECTURE.md round-3 accounting) — do not train with it.
+* ``make_phased_train_step`` — the SAME update as four chained programs
+  (what the trainer and bench run).  Round-3 null results, measured and
+  kept for the record: restructuring the monolith itself (vjp-sharing G's
+  pair forward, batching the D/C calls, vmapping the fake-R pair,
+  unrolling R's scans) did NOT move its TPU rate and roughly doubled its
+  CPU compile time, so the monolith stays in the simple direct form.
 """
 
 from __future__ import annotations
@@ -61,7 +58,6 @@ def make_train_step(config: WordGanConfig):
         label_xt = batch["label_xt"]
         label_xt_swap = batch["label_xt_swap"]
         rng_rec, rng_gen = jax.random.split(rng)
-        b = style.shape[0]
 
         metrics = {}
 
@@ -105,30 +101,19 @@ def make_train_step(config: WordGanConfig):
             lambda p, u: p + u, state.cla.params, cla_upd)
         metrics["l_cla_tr"] = l_cla_tr
 
-        # ---- generate both target words ONCE (jax.vjp): the primal
-        # serves the D phase, the vjp closure the G phase -------------------
-        def pair_fwd(gen_params):
-            (xg, xg_swap), updates = _generate_pair(
-                gen, gen_params, state.gen.stats, style,
-                label_xt, label_xt_swap, mutable=True)
-            return jnp.stack([xg, xg_swap]), updates["batch_stats"]
-
-        pair, gen_vjp, gen_stats = jax.vjp(
-            pair_fwd, state.gen.params, has_aux=True)
-        pair_sg = jax.lax.stop_gradient(pair)    # (2, B, H, W, 1)
+        # ---- generate fakes once for the D phase (no grad through G) ----
+        (xg_sg, xg_swap_sg) = jax.lax.stop_gradient(_generate_pair(
+            gen, state.gen.params, state.gen.stats, style,
+            label_xt, label_xt_swap))
 
         # ---- phase 3: discriminator --------------------------------------
-        # one batched D call over [real ch0, real ch1, fake xt, fake swap]
         def dis_loss_fn(dis_params):
-            quad = jnp.concatenate(
-                [img_ch0, img_ch1, pair_sg[0], pair_sg[1]], axis=0)
-            s = dis.apply({"params": dis_params}, quad, train=True)
-            s_r0, s_r1, s_f0, s_f1 = (s[:b], s[b:2 * b], s[2 * b:3 * b],
-                                      s[3 * b:])
-            l_real = 0.5 * (losses.dis_real_loss(s_r0)
-                            + losses.dis_real_loss(s_r1))
-            l_fake = 0.5 * (losses.dis_fake_loss(s_f0)
-                            + losses.dis_fake_loss(s_f1))
+            def d(x):
+                return dis.apply({"params": dis_params}, x, train=True)
+            l_real = 0.5 * (losses.dis_real_loss(d(img_ch0))
+                            + losses.dis_real_loss(d(img_ch1)))
+            l_fake = 0.5 * (losses.dis_fake_loss(d(xg_sg))
+                            + losses.dis_fake_loss(d(xg_swap_sg)))
             return l_real + l_fake
 
         l_dis_tr, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis.params)
@@ -139,32 +124,22 @@ def make_train_step(config: WordGanConfig):
         metrics["l_dis_tr"] = l_dis_tr
 
         # ---- phase 4: generator (adv + writer + recognition) ------------
-        # differentiated w.r.t. the generated image pair; the cotangent is
-        # pulled back through the shared forward with gen_vjp
-        def heads_loss(pair_in):
-            xg, xg_swap = pair_in[0], pair_in[1]
-            both = pair_in.reshape((2 * b,) + pair_in.shape[2:])
+        def gen_loss_fn(gen_params):
+            (xg, xg_swap), updates = _generate_pair(
+                gen, gen_params, state.gen.stats, style,
+                label_xt, label_xt_swap, mutable=True)
 
-            d_s = dis.apply({"params": dis_params}, both, train=True)
-            l_dis = 0.5 * (losses.gen_adv_loss(d_s[:b])
-                           + losses.gen_adv_loss(d_s[b:]))
+            def d(x):
+                return dis.apply({"params": dis_params}, x, train=True)
 
-            c_s = cla.apply({"params": cla_params}, both, train=True)
-            l_cla = 0.5 * (losses.writer_ce_loss(c_s[:b], writer_ids)
-                           + losses.writer_ce_loss(c_s[b:], writer_ids))
+            def c(x):
+                return cla.apply({"params": cla_params}, x, train=True)
 
-            if config.oov:
-                l_l1 = jnp.zeros((), jnp.float32)
-            else:
-                l_l1 = losses.recon_l1(xg, batch["img_xt"])
-
-            k1, k2 = jax.random.split(rng_gen)
-
-            def r_one(x, lab, key):
+            def r(x, lab, key):
                 # train-mode forward; stat updates discarded (R's running
                 # averages advance only in its own phase).  Grads flow to
-                # the image (hence to G); R's params are closed over, not
-                # the differentiated argument.
+                # the image (hence to G) but R's params see stop_gradient
+                # here — they are not the differentiated argument.
                 (logits, _), _ = rec.apply(
                     {"params": rec_params, "batch_stats": rec_stats},
                     x, lab, train=True, rngs={"dropout": key},
@@ -172,37 +147,43 @@ def make_train_step(config: WordGanConfig):
                 )
                 return logits
 
-            # vmap over the word axis: per-word BatchNorm batch statistics
-            # and dropout keys match two separate calls exactly
-            logits_pair = jax.vmap(r_one)(
-                pair_in,
-                jnp.stack([label_xt, label_xt_swap]),
-                jnp.stack([k1, k2]))
+            l_dis = 0.5 * (losses.gen_adv_loss(d(xg))
+                           + losses.gen_adv_loss(d(xg_swap)))
+            l_cla = 0.5 * (losses.writer_ce_loss(c(xg), writer_ids)
+                           + losses.writer_ce_loss(c(xg_swap), writer_ids))
+            if config.oov:
+                l_l1 = jnp.zeros((), jnp.float32)
+            else:
+                l_l1 = losses.recon_l1(xg, batch["img_xt"])
+            k1, k2 = jax.random.split(rng_gen)
+            logits_xt = r(xg, label_xt, k1)
+            logits_swap = r(xg_swap, label_xt_swap, k2)
             l_rec = 0.5 * (
-                losses.rec_loss(
-                    logits_pair[0], label_xt, config.label_smoothing)
+                losses.rec_loss(logits_xt, label_xt, config.label_smoothing)
                 + losses.rec_loss(
-                    logits_pair[1], label_xt_swap, config.label_smoothing))
-
+                    logits_swap, label_xt_swap, config.label_smoothing))
             total = (config.w_dis * l_dis + config.w_cla * l_cla
                      + config.w_l1 * l_l1 + config.w_rec * l_rec)
             aux = {
                 "l_dis": l_dis, "l_cla": l_cla, "l_l1": l_l1,
                 "l_rec": l_rec, "l_total": total,
-                "logits_xt": logits_pair[0],
-                "logits_swap": logits_pair[1],
+                "gen_stats": updates["batch_stats"],
+                "logits_xt": logits_xt,
+                "logits_swap": logits_swap,
+                "xg": xg,
             }
             return total, aux
 
-        (_, aux), pair_bar = jax.value_and_grad(
-            heads_loss, has_aux=True)(pair)
-        (gen_grads,) = gen_vjp(pair_bar)
+        (_, aux), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen.params)
         gen_upd, gen_opt = opts["gen"].update(
             gen_grads, state.gen.opt_state, state.gen.params)
         gen_params = jax.tree.map(
             lambda p, u: p + u, state.gen.params, gen_upd)
+        gen_stats = aux.pop("gen_stats")
         logits_xt = aux.pop("logits_xt")
         logits_swap = aux.pop("logits_swap")
+        xg = aux.pop("xg")
         metrics.update(aux)
 
         new_state = WordGanState(
@@ -216,7 +197,7 @@ def make_train_step(config: WordGanConfig):
             "rec_logits_tr": rec_logits_tr,
             "logits_xt": logits_xt,
             "logits_swap": logits_swap,
-            "xg": pair_sg[0],
+            "xg": xg,
         }
         return new_state, metrics, extras
 
@@ -366,6 +347,10 @@ def make_phased_train_step(config: WordGanConfig):
     jit_gen = jax.jit(phase_gen, donate_argnums=0)
 
     def step(state: WordGanState, batch: dict[str, Any], rng: jax.Array):
+        # place the batch ONCE: three of the four programs consume the
+        # style stack, and a host-numpy batch would otherwise re-upload
+        # it per program (no-op for already-placed/sharded arrays)
+        batch = jax.device_put(batch)
         rng_rec, rng_gen = jax.random.split(rng)
         style = batch["style_imgs"]
         img_ch0 = style[..., 0:1]
@@ -398,6 +383,13 @@ def _generate_pair(gen, gen_params, gen_stats, style, label_xt,
     """Encode the style stack once, decode both target words
     (network_tro.py:60-74: xg and xg_swap share the style pyramid)."""
     variables = {"params": gen_params, "batch_stats": gen_stats}
+
+    def fwd(v):
+        pyramid = gen.apply(v, style, train=True, method=gen.encode_style)
+        xg = gen.apply(v, pyramid, label_xt, train=True, method=gen.generate)
+        xg_swap = gen.apply(
+            v, pyramid, label_xt_swap, train=True, method=gen.generate)
+        return xg, xg_swap
 
     if not mutable:
         # run in train mode but discard stat updates (the reference's

@@ -117,6 +117,10 @@ def test_phased_step_matches_monolith(setup):
                       jax.random.key(3))
 
     state2 = init_state(CFG, jax.random.key(0))
+    # snapshot BEFORE stepping: the phased step donates the player states
+    before = {name: np.asarray(
+        jax.tree.leaves(getattr(state2, name).params)[0])
+        for name in ("gen", "dis", "cla", "rec")}
     phased = make_phased_train_step(CFG)
     s2, m2, e2 = phased(state2, batch, jax.random.key(3))
 
@@ -126,7 +130,6 @@ def test_phased_step_matches_monolith(setup):
     assert e2["xg"].shape == e1["xg"].shape
     assert int(s2.step) == 1
     # all four players moved
-    for name in ("gen", "dis", "cla", "rec"):
+    for name, p0 in before.items():
         p1 = jax.tree.leaves(getattr(s2, name).params)[0]
-        p0 = jax.tree.leaves(getattr(state2, name).params)[0]
-        assert not np.allclose(np.asarray(p1), np.asarray(p0)), name
+        assert not np.allclose(np.asarray(p1), p0), name
