@@ -46,6 +46,12 @@ def host_tag() -> str:
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Enable jax's persistent compilation cache.  Returns the cache dir
     (None if disabled or unsupported by this jax)."""
+    # Pin the XLA:CPU codegen flavor: a TF import (transformers pulls it
+    # in) can flip oneDNN custom ops mid-process, and AOT entries written
+    # under one flavor load under the other with "machine type doesn't
+    # match" errors and silently wrong numerics (observed round 3 as a
+    # validation-determinism failure).
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
     cache_dir = path or os.environ.get("AFFG_JAX_CACHE", _DEFAULT)
     if not cache_dir:
         return None

@@ -75,8 +75,14 @@ class TextData:
         self.max_len = max_len
         self.rng = np.random.default_rng(seed)
 
-    def sample(self) -> str:
-        start = int(self.rng.integers(len(self.words) - 12))
+    def sample(self, rng: np.random.Generator | None = None) -> str:
+        """One text snippet.  Pass ``rng`` to draw from a caller-keyed
+        stream (deterministic data: LineDataset.batches keys one rng per
+        (seed, epoch) so repeated iteration yields identical batches —
+        validation determinism depends on this); default draws advance
+        the instance's own stream."""
+        rng = self.rng if rng is None else rng
+        start = int(rng.integers(len(self.words) - 12))
         out = ""
         for w in self.words[start: start + 12]:
             cand = (out + " " + w).strip()
@@ -183,7 +189,7 @@ class LineDataset:
             for ai in order[start: start + batch_authors]:
                 author = self.authors[ai]
                 for _ in range(ab):
-                    text = self.text_data.sample()
+                    text = self.text_data.sample(rng)
                     ids = self.charset.encode(text)[: self.label_len]
                     img = synthetic_line_image(
                         text, hash(author) & 0xFFFF, width=self.width)
