@@ -74,6 +74,37 @@ def main(argv=None):
             "speedup": round(t_xla / t_pl, 3),
         }))
 
+    # ---- decoder head: jnp tap-major reassociation vs the Pallas fold ----
+    # (streaming: dispatch N, fetch one element of the last output — the
+    # chain trick doesn't apply since head output shape != input shape)
+    from affganwriting_tpu.models.decoder import PhaseHead
+
+    def _stream(fn, a, bb, n=20):
+        out = fn(a)
+        float(np.asarray(out[(0,) * out.ndim]))
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(a if i % 2 == 0 else bb)
+        float(np.asarray(out[(0,) * out.ndim]))
+        return (time.perf_counter() - t0) / n
+
+    x4 = jnp.asarray(rng.normal(size=(b, 32, 108, 256)) * 0.5, jnp.bfloat16)
+    x4b = x4 + jnp.bfloat16(0.01)
+    head_j = PhaseHead(1, jnp.bfloat16)
+    head_p = PhaseHead(1, jnp.bfloat16, use_pallas=True)
+    v = jax.jit(head_j.init)(jax.random.key(0), x4)
+    t_j = _stream(jax.jit(lambda t: head_j.apply(v, t)), x4, x4b,
+                  args.iters)
+    t_p = _stream(jax.jit(lambda t: head_p.apply(v, t)), x4, x4b,
+                  args.iters)
+    print(json.dumps({
+        "kernel": "phase_head",
+        "shape": [b, 32, 108, 256],
+        "xla_ms": round(t_j * 1e3, 3),
+        "pallas_ms": round(t_p * 1e3, 3),
+        "speedup": round(t_j / t_p, 3),
+    }))
+
 
 if __name__ == "__main__":
     main()

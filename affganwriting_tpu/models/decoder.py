@@ -127,6 +127,34 @@ def instance_norm_phase(x4: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return out.reshape(b, h, w, c4)
 
 
+def fold_head_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(7,7,C,o) head kernel -> tap-major phase kernel (4C, 100*o).
+
+    First the phase fold (PhaseHead docstring): K4[dy+2, dx+2, (p,q,c),
+    (P,Q,o)] — for output phase P, hi-res tap a lands at low-res offset
+    floor((P+a)/2) and input phase (P+a) mod 2.  Then tap-major layout:
+    kc[ci, t*4o + po] = K4[dy_t, dx_t, ci, po] with t = 5*dy + dx."""
+    c, o = k.shape[2], k.shape[3]
+    k4 = jnp.zeros((5, 5, 4 * c, 4 * o), jnp.float32)
+    for P in (0, 1):
+        for a in range(-3, 4):
+            dy = (P + a) // 2
+            p = (P + a) % 2
+            for Q in (0, 1):
+                for bb in range(-3, 4):
+                    dx = (Q + bb) // 2
+                    q = (Q + bb) % 2
+                    in_slot = (p * 2 + q) * c
+                    out_slot = (P * 2 + Q) * o
+                    k4 = k4.at[
+                        dy + 2, dx + 2,
+                        in_slot: in_slot + c,
+                        out_slot: out_slot + o,
+                    ].add(k[a + 3, bb + 3])
+    return k4.reshape(25, 4 * c, 4 * o).transpose(1, 0, 2) \
+        .reshape(4 * c, 100 * o)
+
+
 class PhaseHead(nn.Module):
     """7x7 conv + tanh head consuming phase layout.
 
@@ -137,10 +165,22 @@ class PhaseHead(nn.Module):
     cheap) instead of the 4C-channel one — eliminating the expensive
     strided transpose at full resolution.  Shares the (7,7,C,out) parameter
     layout with the exact head, reflect border approximated at low res.
+
+    The folded conv is NOT run as a conv: with 4*out output channels
+    (out=1: 4) the MXU uses 4/128 lanes — measured 3.6% MFU / 52 ms at the
+    headline batch, as long as the three upsample convs combined.  Instead
+    the contraction is reassociated: a 1x1 matmul to tap-major channels
+    (4C -> 25 taps * 4 phases, MXU N=100) followed by 25 statically-shifted
+    slice-adds that place each tap.  Same math, summation order differs
+    (per-tap partials); exact in fp32, ~bf16-epsilon noise in bf16.
     """
 
     out_dim: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # ops/phase_head_pallas.py: same fold with the tap reduction VMEM
+    # resident (one HBM read + one write); opt-in until the A/B gate
+    # (cli/bench_kernels.py) shows it beating the jnp reassociation
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x4):
@@ -150,32 +190,28 @@ class PhaseHead(nn.Module):
                        (7, 7, c, self.out_dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.out_dim,), jnp.float32)
+        o = self.out_dim
+        kc = fold_head_kernel(k)
+        xp = pad2d(x4, 2, "reflect")                    # (B, h+4, w+4, 4C)
+        if self.use_pallas and o == 1:
+            from affganwriting_tpu.ops.phase_head_pallas import (
+                phase_head_fold,
+            )
 
-        # fold: K4[dy+2, dx+2, (p, q, c), (P, Q, o)]
-        k4 = jnp.zeros((5, 5, 4 * c, 4 * self.out_dim), jnp.float32)
-        for P in (0, 1):
-            for a in range(-3, 4):
-                dy = (P + a) // 2
-                p = (P + a) % 2
-                for Q in (0, 1):
-                    for bb in range(-3, 4):
-                        dx = (Q + bb) // 2
-                        q = (Q + bb) % 2
-                        in_slot = (p * 2 + q) * c
-                        out_slot = (P * 2 + Q) * self.out_dim
-                        k4 = k4.at[
-                            dy + 2, dx + 2,
-                            in_slot: in_slot + c,
-                            out_slot: out_slot + self.out_dim,
-                        ].add(k[a + 3, bb + 3])
-        xp = pad2d(x4, 2, "reflect")
-        y = jax.lax.conv_general_dilated(
-            xp, k4.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            img = phase_head_fold(xp.astype(self.dtype),
+                                  kc.astype(self.dtype),
+                                  jnp.tile(bias, (4,)))
+            return img[..., None]
+        z = jnp.einsum("bhwc,ck->bhwk", xp, kc.astype(self.dtype))
+        y = jnp.zeros((b, h, w, 4 * o), z.dtype)
+        for t in range(25):
+            dy, dx = t // 5, t % 5
+            y = y + jax.lax.slice(
+                z, (0, dy, dx, 4 * o * t),
+                (b, dy + h, dx + w, 4 * o * (t + 1)))
         y = y + jnp.tile(bias, (4,)).astype(y.dtype)
         y = jnp.tanh(y)
         # cheap final d2s: only 4*out_dim channels
-        o = self.out_dim
         y = y.reshape(b, h, w, 2, 2, o)
         return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, o)
 

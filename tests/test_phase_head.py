@@ -46,6 +46,28 @@ def test_phase_head_matches_exact_interior():
         rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_head_matches_jnp_reassociation():
+    """ops/phase_head_pallas.py (interpret mode) vs the shipped PhaseHead."""
+    from affganwriting_tpu.models.decoder import fold_head_kernel, pad2d
+    from affganwriting_tpu.ops.phase_head_pallas import phase_head_fold
+
+    rng = np.random.default_rng(3)
+    x4 = jnp.asarray(rng.normal(size=(B, H, W, 4 * C)) * 0.5, jnp.float32)
+    head = PhaseHead(1, jnp.float32)
+    v = head.init(jax.random.key(0), x4)
+    want = np.asarray(head.apply(v, x4))[..., 0]
+    kc = fold_head_kernel(v["params"]["kernel"])
+    got = np.asarray(phase_head_fold(
+        pad2d(x4, 2, "reflect"), kc,
+        jnp.tile(v["params"]["bias"], (4,)), interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # the flag routes through the same kernel
+    head_p = PhaseHead(1, jnp.float32, use_pallas=True)
+    got2 = np.asarray(head_p.apply(v, x4))
+    assert got2.shape == (B, 2 * H, 2 * W, 1)
+
+
 def test_decoder_modes_share_params_and_agree_interior():
     rng = np.random.default_rng(2)
     content = jnp.asarray(rng.normal(size=(1, 8, 27, 512)), jnp.float32)
