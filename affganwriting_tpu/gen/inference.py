@@ -105,6 +105,73 @@ def make_generate_and_read_fn(config: WordGanConfig):
         pred_ids = run_rec(rec_variables, images, labels)
         return images, pred_ids
 
+    run.run_gen = run_gen
+    run.run_rec = run_rec
+    return run
+
+
+def make_generate_and_read_quant_fn(config: WordGanConfig, *,
+                                    quant_gen: bool = False):
+    """The gen+read pipeline with the hot convs in int8 (w8a8 serving mode).
+
+    Same two-program structure as ``make_generate_and_read_fn``:
+
+    * the recognize program swaps R's bf16 VGG trunk for ``ops/quant.py:
+      vgg_quant_apply`` (int8 MXU path, static calibrated scales) and feeds
+      the features into the unchanged bf16/f32 BiGRU+decoder tail
+      (``Recognizer.read_features``).  ``qparams`` comes from
+      ``prepare_vgg_quant(rec_variables, calib_images)`` — calibrate on a
+      batch of generated words.
+    * with ``quant_gen`` the generate program runs the decoder's res-block
+      and upsample convs through ``dyn_int8_conv`` (dynamic per-sample
+      scales — AdaIN makes G's ranges sample-dependent), same param tree.
+      Default OFF: measured 0.95x on v5e (the dynamic-quant overhead eats
+      the MXU win at G's shapes — docs/ARCHITECTURE.md int8 section); the
+      R-side trunk quant is the part that wins (1.33x recognize).
+
+    Opt-in serving mode; quality gates in tests/test_quant.py, measured
+    A/B in docs/ARCHITECTURE.md.
+    """
+    from affganwriting_tpu.models.generator import Generator
+    from affganwriting_tpu.ops.quant import vgg_quant_apply
+
+    gen_and_read = make_generate_and_read_fn(config)
+    run_gen = gen_and_read.run_gen
+    _, _, _, rec = build_models(config)
+
+    if quant_gen:
+        gen_q = Generator(config, quant=True)
+
+        @jax.jit
+        def run_gen(gen_variables, style_stack, labels):  # noqa: F811
+            pyramid = gen_q.apply(gen_variables, style_stack, train=False,
+                                  method=gen_q.encode_style)
+            b, s = labels.shape[0], style_stack.shape[0]
+            if s != b and s != 1:
+                if b % s:
+                    raise ValueError(
+                        f"labels batch {b} is not a multiple of the {s} "
+                        "style stacks; pad or trim the word list")
+                reps = b // s
+                pyramid = [jnp.tile(tap, (reps,) + (1,) * (tap.ndim - 1))
+                           for tap in pyramid]
+            return gen_q.apply(gen_variables, pyramid, labels, train=False,
+                               method=gen_q.generate)
+
+    @jax.jit
+    def run_rec_q(rec_variables, qparams, images, labels):
+        feat = vgg_quant_apply(qparams, images)
+        logits, _ = rec.apply(rec_variables, feat, labels,
+                              method=rec.read_features)
+        return jnp.argmax(logits, axis=-1)
+
+    def run(gen_variables, rec_variables, qparams, style_stack, labels):
+        images = run_gen(gen_variables, style_stack, labels)
+        pred_ids = run_rec_q(rec_variables, qparams, images, labels)
+        return images, pred_ids
+
+    run.run_gen = run_gen
+    run.run_rec = run_rec_q
     return run
 
 

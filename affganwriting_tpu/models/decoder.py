@@ -46,6 +46,10 @@ class UpsampleConv(nn.Module):
     subpixel: bool = True
     emit_phase: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # int8 serving mode (ops/quant.py:dyn_int8_conv): per-sample dynamic
+    # activation scales, per-channel weight scales, int8 MXU path.
+    # Subpixel path only; exact mode is the parity path and stays bf16.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,9 +87,14 @@ class UpsampleConv(nn.Module):
         w4 = jnp.concatenate(phases, axis=-1)        # (3, 3, Cin, 4*Co)
 
         xp = pad2d(x, 1, "reflect")
-        y = jax.lax.conv_general_dilated(
-            xp, w4.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.quant:
+            from affganwriting_tpu.ops.quant import dyn_int8_conv
+
+            y = dyn_int8_conv(xp, w4, out_dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xp, w4.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         bias4 = jnp.tile(b, (4,)).astype(self.dtype)
         if self.emit_phase:
             return y + bias4
@@ -238,25 +247,50 @@ class ExactHead(nn.Module):
         return jnp.tanh(y + bias.astype(y.dtype))
 
 
+class _QConv3x3(nn.Module):
+    """3x3 VALID conv with nn.Conv's exact param tree ("kernel"/"bias"),
+    run through the int8 MXU path (ops/quant.py:dyn_int8_conv).  Only
+    instantiated at apply time in quant serving mode — the params it binds
+    were created by the nn.Conv branch."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from affganwriting_tpu.ops.quant import dyn_int8_conv
+
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return dyn_int8_conv(x, w, b, out_dtype=self.dtype)
+
+
 class AdaINResBlock(nn.Module):
     """Residual block whose two convs are followed by AdaIN(+iAFF) sites."""
 
     dim: int = 512
     pad_type: str = "reflect"
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False   # int8 serving mode for the two 3x3 convs
 
     @nn.compact
     def __call__(self, x, params0, params1, skip0=None, skip1=None, *,
                  train: bool = False):
-        h = nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv0")(
-            pad2d(x, 1, self.pad_type))
+        def conv(name, h):
+            if self.quant:
+                return _QConv3x3(self.dim, self.dtype, name=name)(h)
+            return nn.Conv(self.dim, (3, 3), padding="VALID",
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name=name)(h)
+
+        h = conv("conv0", pad2d(x, 1, self.pad_type))
         h = AdaINFusion(self.dim, self.dtype, name="adain0")(
             h, *params0, skip=skip0, train=train)
         h = nn.relu(h)
-        h = nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv1")(
-            pad2d(h, 1, self.pad_type))
+        h = conv("conv1", pad2d(h, 1, self.pad_type))
         h = AdaINFusion(self.dim, self.dtype, name="adain1")(
             h, *params1, skip=skip1, train=train)
         return x + h
@@ -286,6 +320,10 @@ class Decoder(nn.Module):
     # (ops/in_relu_pallas.py); opt-in until it measurably beats the
     # XLA-fused path on the target chip (cli/bench_kernels.py A/B)
     use_pallas_in: bool = False
+    # int8 serving mode: res-block + upsample convs on the int8 MXU path
+    # with dynamic per-sample scales (ops/quant.py).  Inference only;
+    # requires subpixel mode.  Norms/iAFF/head stay bf16.
+    quant: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -303,9 +341,11 @@ class Decoder(nn.Module):
         skip1 = nn.max_pool(style_pyramid[3], (2, 2), strides=(2, 2))
         skip3 = style_pyramid[4]
 
-        x = AdaINResBlock(self.dim, self.pad_type, self.dtype, name="res0")(
+        x = AdaINResBlock(self.dim, self.pad_type, self.dtype,
+                          quant=self.quant, name="res0")(
             content, sites[0], sites[1], skip0=None, skip1=skip1, train=train)
-        x = AdaINResBlock(self.dim, self.pad_type, self.dtype, name="res1")(
+        x = AdaINResBlock(self.dim, self.pad_type, self.dtype,
+                          quant=self.quant, name="res1")(
             x, sites[2], sites[3], skip0=None, skip1=skip3, train=train)
 
         dim = self.dim
@@ -315,7 +355,7 @@ class Decoder(nn.Module):
             phase = self.subpixel_upsample and last
             x = UpsampleConv(dim, subpixel=self.subpixel_upsample,
                              emit_phase=phase, dtype=self.dtype,
-                             name=f"up{i}")(x)
+                             quant=self.quant, name=f"up{i}")(x)
             if phase:
                 x = nn.relu(instance_norm_phase(x))
             elif (self.use_pallas_in and not train

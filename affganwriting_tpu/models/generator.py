@@ -51,6 +51,10 @@ class SplitMix(nn.Module):
 
 class Generator(nn.Module):
     config: WordGanConfig
+    # int8 serving mode for the decoder's convs (models/decoder.py quant
+    # flag).  Same parameter tree as the bf16 generator — construct
+    # Generator(cfg, quant=True) and apply the trained variables.
+    quant: bool = False
 
     def setup(self):
         cfg = self.config
@@ -71,7 +75,7 @@ class Generator(nn.Module):
             adain_dim=cfg.adain_param_dim,
             dtype=dtype,
         )
-        self.dec = Decoder(dim=cfg.style_dim, dtype=dtype)
+        self.dec = Decoder(dim=cfg.style_dim, dtype=dtype, quant=self.quant)
         # mix: concat(style[-1], content) channels -> Dense back to style_dim
         # (GAN_word/modules_tro.py:252-259).  Implemented as a split dense
         # (same kernel layout) so a batch-1 style feature broadcasts against

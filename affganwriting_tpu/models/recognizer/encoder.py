@@ -83,7 +83,13 @@ class BiGRU(nn.Module):
 
 
 class RecEncoder(nn.Module):
-    """(B, 64, 216, 1 or 3) grayscale word -> (enc_out (B, 13, 512), h0)."""
+    """(B, 64, 216, 1 or 3) grayscale word -> (enc_out (B, 13, 512), h0).
+
+    ``from_feat`` is the post-trunk tail: it lets the int8 serving path
+    (ops/quant.py:vgg_quant_apply) replace the VGG forward while the
+    BiGRU + decoder stay bf16/f32 — setup-style so both entry points bind
+    the same "vgg"/"rnn" parameter subtrees (checkpoint layout unchanged).
+    """
 
     hidden: int = 512
     dropout: float = 0.5
@@ -93,24 +99,27 @@ class RecEncoder(nn.Module):
     rnn_dtype: jnp.dtype = jnp.float32
     unroll: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.vgg = VGGTrunk(dtype=self.dtype)
+        self.rnn = BiGRU(self.hidden, dropout=self.dropout,
+                         dtype=self.rnn_dtype, unroll=self.unroll)
+        # Dropout2d(0.5) on the conv output (encoder_vgg.py:687,712)
+        self.feat_drop = nn.Dropout(self.dropout, broadcast_dims=(1, 2))
+
     def __call__(self, img, *, train: bool = False):
         if img.shape[-1] == 1:
             # gray -> 3 channels (GAN_word/modules_tro.py:636)
             img = jnp.concatenate([img] * 3, axis=-1)
-        feat = VGGTrunk(dtype=self.dtype, name="vgg")(img, train=train)
+        feat = self.vgg(img, train=train)
+        return self.from_feat(feat, train=train)
+
+    def from_feat(self, feat, *, train: bool = False):
+        """Trunk features (B, 4, 13, 512) -> (enc_out, dec init hidden)."""
         if train:
-            # Dropout2d(0.5) on the conv output (encoder_vgg.py:687,712)
-            feat = nn.Dropout(
-                self.dropout, broadcast_dims=(1, 2),
-                deterministic=not train)(feat)
+            feat = self.feat_drop(feat, deterministic=not train)
         b, h, w, c = feat.shape
         # (B, H, W, C) -> (B, W, H*C): width is the sequence axis; the
         # torch reshape flattens (height, channel) in that order
         seq = feat.transpose(0, 2, 1, 3).reshape(b, w, h * c)
         seq = seq.astype(self.rnn_dtype)
-        out, hidden0 = BiGRU(self.hidden, dropout=self.dropout,
-                             dtype=self.rnn_dtype, unroll=self.unroll,
-                             name="rnn")(
-            seq, train=train)
-        return out, hidden0
+        return self.rnn(seq, train=train)

@@ -99,10 +99,21 @@ class Recognizer(nn.Module):
         the GAN training path uses free running (teacher_rate=0), matching
         the reference's ``teacher_rate=False`` calls (network_tro.py:43).
         """
-        b = img.shape[0]
-        steps = self.output_max_len - 1
-
         enc_out, hidden0 = self.enc(img, train=train)
+        return self.decode(enc_out, hidden0, labels, train=train,
+                           teacher_rate=teacher_rate, rng=rng)
+
+    def read_features(self, feat, labels):
+        """Inference tail for an externally-computed VGG trunk output —
+        the int8 serving path (ops/quant.py:vgg_quant_apply) runs the
+        trunk at 2x MXU rate and hands (B, 4, 13, 512) features here."""
+        enc_out, hidden0 = self.enc.from_feat(feat, train=False)
+        return self.decode(enc_out, hidden0, labels)
+
+    def decode(self, enc_out, hidden0, labels, *, train: bool = False,
+               teacher_rate: float = 0.0, rng=None):
+        b = enc_out.shape[0]
+        steps = self.output_max_len - 1
 
         # teacher_rate may be a traced scalar; the rng presence decides the
         # (static) branch
