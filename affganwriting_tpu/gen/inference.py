@@ -110,8 +110,34 @@ def make_generate_and_read_fn(config: WordGanConfig):
     return run
 
 
+def calibrate_gen_quant(config: WordGanConfig, gen_variables, style_stack,
+                        labels):
+    """Record per-conv-site activation amaxes for G's static int8 mode.
+
+    Runs the decoder in ``calib`` quant mode (bf16 convs that sow
+    ``max(|input|)`` into the "quant" collection) on a representative
+    (style, labels) batch and returns ``gen_variables`` with the
+    calibrated "quant" collection merged — feed that to
+    ``make_generate_and_read_quant_fn(quant_gen="static")``.
+    """
+    from affganwriting_tpu.models.generator import Generator
+
+    gen_c = Generator(config, quant=True, quant_mode="calib")
+
+    @jax.jit
+    def _calib(variables, style, lab):
+        pyramid = gen_c.apply(variables, style, train=False,
+                              method=gen_c.encode_style)
+        _, mut = gen_c.apply(variables, pyramid, lab, train=False,
+                             method=gen_c.generate, mutable=["quant"])
+        return mut["quant"]
+
+    quant = _calib(gen_variables, style_stack, labels)
+    return {**gen_variables, "quant": quant}
+
+
 def make_generate_and_read_quant_fn(config: WordGanConfig, *,
-                                    quant_gen: bool = False):
+                                    quant_gen: bool | str = False):
     """The gen+read pipeline with the hot convs in int8 (w8a8 serving mode).
 
     Same two-program structure as ``make_generate_and_read_fn``:
@@ -122,12 +148,14 @@ def make_generate_and_read_quant_fn(config: WordGanConfig, *,
       (``Recognizer.read_features``).  ``qparams`` comes from
       ``prepare_vgg_quant(rec_variables, calib_images)`` — calibrate on a
       batch of generated words.
-    * with ``quant_gen`` the generate program runs the decoder's res-block
-      and upsample convs through ``dyn_int8_conv`` (dynamic per-sample
-      scales — AdaIN makes G's ranges sample-dependent), same param tree.
-      Default OFF: measured 0.95x on v5e (the dynamic-quant overhead eats
-      the MXU win at G's shapes — docs/ARCHITECTURE.md int8 section); the
-      R-side trunk quant is the part that wins (1.33x recognize).
+    * ``quant_gen`` runs the decoder's res-block and upsample convs on the
+      int8 MXU path too: ``"dynamic"`` (or True) uses per-sample amax
+      scales; ``"static"`` uses calibrated per-tensor scales (pass
+      ``gen_variables`` through :func:`calibrate_gen_quant` first — the
+      quantize then fuses into the producer epilogues with no amax pass).
+      Default OFF: dynamic measured 0.95x on v5e (the amax pass eats the
+      MXU win — docs/ARCHITECTURE.md int8 section); the R-side trunk
+      quant always wins (1.33x recognize).
 
     Opt-in serving mode; quality gates in tests/test_quant.py, measured
     A/B in docs/ARCHITECTURE.md.
@@ -140,7 +168,8 @@ def make_generate_and_read_quant_fn(config: WordGanConfig, *,
     _, _, _, rec = build_models(config)
 
     if quant_gen:
-        gen_q = Generator(config, quant=True)
+        mode = "dynamic" if quant_gen is True else quant_gen
+        gen_q = Generator(config, quant=True, quant_mode=mode)
 
         @jax.jit
         def run_gen(gen_variables, style_stack, labels):  # noqa: F811

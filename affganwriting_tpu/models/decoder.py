@@ -22,6 +22,43 @@ from affganwriting_tpu.models.blocks import Conv2dBlock, pad2d
 from affganwriting_tpu.ops.norms import instance_norm
 
 
+def _quant_conv_site(mod: nn.Module, x, w, bias, mode: str, out_dtype,
+                     pad: int = 0, pad_type: str = "reflect"):
+    """One int8 conv site inside a flax module (stride 1; ``pad`` applied
+    inside, AFTER the quantize — reflect padding commutes exactly with
+    elementwise quantization, and padding the int8 tensor halves the pad
+    copy's traffic while letting the quantize fuse into the producer's
+    epilogue).
+
+    ``dynamic``: per-sample amax pass (ops/quant.py:dyn_int8_conv).
+    ``calib``:   bf16 conv that records ``max(|x|)`` over every apply into
+                 the module's ``("quant", "amax")`` variable — run with
+                 ``mutable=["quant"]`` on a calibration batch.
+    ``static``:  int8 conv with the calibrated amax (no amax pass).
+    """
+    from affganwriting_tpu.ops.quant import dyn_int8_conv, static_int8_conv
+
+    if mode == "dynamic":
+        xp = pad2d(x, pad, pad_type) if pad else x
+        return dyn_int8_conv(xp, w, bias, out_dtype=out_dtype)
+    amax_v = mod.variable("quant", "amax",
+                          lambda: jnp.zeros((), jnp.float32))
+    if mode == "calib":
+        amax_v.value = jnp.maximum(
+            amax_v.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        xp = pad2d(x, pad, pad_type) if pad else x
+        y = jax.lax.conv_general_dilated(
+            xp.astype(out_dtype), w.astype(out_dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(out_dtype)
+        return y
+    if mode != "static":
+        raise ValueError(f"unknown quant_mode {mode!r}")
+    return static_int8_conv(x, w, amax_v.value, bias, out_dtype=out_dtype,
+                            pad=pad, pad_type=pad_type)
+
+
 class UpsampleConv(nn.Module):
     """2x nearest upsample + 5x5 reflect-pad conv, with an exact subpixel
     fast path.
@@ -46,10 +83,14 @@ class UpsampleConv(nn.Module):
     subpixel: bool = True
     emit_phase: bool = False
     dtype: jnp.dtype = jnp.bfloat16
-    # int8 serving mode (ops/quant.py:dyn_int8_conv): per-sample dynamic
-    # activation scales, per-channel weight scales, int8 MXU path.
-    # Subpixel path only; exact mode is the parity path and stays bf16.
+    # int8 serving mode (ops/quant.py): per-channel weight scales, int8
+    # MXU path.  Subpixel path only; exact mode is the parity path and
+    # stays bf16.  quant_mode: "dynamic" (per-sample amax pass),
+    # "static" (calibrated amax from the "quant" variable collection),
+    # "calib" (bf16 forward that RECORDS amax — apply with
+    # mutable=["quant"] on a calibration batch).
     quant: bool = False
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -86,15 +127,13 @@ class UpsampleConv(nn.Module):
                 phases.append(jnp.swapaxes(wpq, 0, 1))
         w4 = jnp.concatenate(phases, axis=-1)        # (3, 3, Cin, 4*Co)
 
-        xp = pad2d(x, 1, "reflect")
         if self.quant:
-            from affganwriting_tpu.ops.quant import dyn_int8_conv
-
-            y = dyn_int8_conv(xp, w4, out_dtype=self.dtype)
+            y = _quant_conv_site(self, x, w4, None, self.quant_mode,
+                                 self.dtype, pad=1)
         else:
             y = jax.lax.conv_general_dilated(
-                xp, w4.astype(self.dtype), (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                pad2d(x, 1, "reflect"), w4.astype(self.dtype), (1, 1),
+                "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         bias4 = jnp.tile(b, (4,)).astype(self.dtype)
         if self.emit_phase:
             return y + bias4
@@ -249,23 +288,24 @@ class ExactHead(nn.Module):
 
 class _QConv3x3(nn.Module):
     """3x3 VALID conv with nn.Conv's exact param tree ("kernel"/"bias"),
-    run through the int8 MXU path (ops/quant.py:dyn_int8_conv).  Only
-    instantiated at apply time in quant serving mode — the params it binds
-    were created by the nn.Conv branch."""
+    run through the int8 MXU path (ops/quant.py).  Only instantiated at
+    apply time in quant serving mode — the params it binds were created by
+    the nn.Conv branch."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant_mode: str = "dynamic"
+    pad_type: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
-        from affganwriting_tpu.ops.quant import dyn_int8_conv
-
         cin = x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
-        return dyn_int8_conv(x, w, b, out_dtype=self.dtype)
+        return _quant_conv_site(self, x, w, b, self.quant_mode, self.dtype,
+                                pad=1, pad_type=self.pad_type)
 
 
 class AdaINResBlock(nn.Module):
@@ -275,22 +315,25 @@ class AdaINResBlock(nn.Module):
     pad_type: str = "reflect"
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False   # int8 serving mode for the two 3x3 convs
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x, params0, params1, skip0=None, skip1=None, *,
                  train: bool = False):
         def conv(name, h):
             if self.quant:
-                return _QConv3x3(self.dim, self.dtype, name=name)(h)
+                # UNPADDED input: the quant site pads after the quantize
+                return _QConv3x3(self.dim, self.dtype, self.quant_mode,
+                                 self.pad_type, name=name)(h)
             return nn.Conv(self.dim, (3, 3), padding="VALID",
                            dtype=self.dtype, param_dtype=jnp.float32,
-                           name=name)(h)
+                           name=name)(pad2d(h, 1, self.pad_type))
 
-        h = conv("conv0", pad2d(x, 1, self.pad_type))
+        h = conv("conv0", x)
         h = AdaINFusion(self.dim, self.dtype, name="adain0")(
             h, *params0, skip=skip0, train=train)
         h = nn.relu(h)
-        h = conv("conv1", pad2d(h, 1, self.pad_type))
+        h = conv("conv1", h)
         h = AdaINFusion(self.dim, self.dtype, name="adain1")(
             h, *params1, skip=skip1, train=train)
         return x + h
@@ -321,9 +364,11 @@ class Decoder(nn.Module):
     # XLA-fused path on the target chip (cli/bench_kernels.py A/B)
     use_pallas_in: bool = False
     # int8 serving mode: res-block + upsample convs on the int8 MXU path
-    # with dynamic per-sample scales (ops/quant.py).  Inference only;
-    # requires subpixel mode.  Norms/iAFF/head stay bf16.
+    # (ops/quant.py).  Inference only; requires subpixel mode.
+    # Norms/iAFF/head stay bf16.  quant_mode "static" needs a calibrated
+    # "quant" variable collection (run a "calib" decoder first).
     quant: bool = False
+    quant_mode: str = "dynamic"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -342,10 +387,12 @@ class Decoder(nn.Module):
         skip3 = style_pyramid[4]
 
         x = AdaINResBlock(self.dim, self.pad_type, self.dtype,
-                          quant=self.quant, name="res0")(
+                          quant=self.quant, quant_mode=self.quant_mode,
+                          name="res0")(
             content, sites[0], sites[1], skip0=None, skip1=skip1, train=train)
         x = AdaINResBlock(self.dim, self.pad_type, self.dtype,
-                          quant=self.quant, name="res1")(
+                          quant=self.quant, quant_mode=self.quant_mode,
+                          name="res1")(
             x, sites[2], sites[3], skip0=None, skip1=skip3, train=train)
 
         dim = self.dim
@@ -355,7 +402,8 @@ class Decoder(nn.Module):
             phase = self.subpixel_upsample and last
             x = UpsampleConv(dim, subpixel=self.subpixel_upsample,
                              emit_phase=phase, dtype=self.dtype,
-                             quant=self.quant, name=f"up{i}")(x)
+                             quant=self.quant, quant_mode=self.quant_mode,
+                             name=f"up{i}")(x)
             if phase:
                 x = nn.relu(instance_norm_phase(x))
             elif (self.use_pallas_in and not train

@@ -54,7 +54,10 @@ class Generator(nn.Module):
     # int8 serving mode for the decoder's convs (models/decoder.py quant
     # flag).  Same parameter tree as the bf16 generator — construct
     # Generator(cfg, quant=True) and apply the trained variables.
+    # quant_mode "static" additionally needs the calibrated "quant"
+    # collection from a quant_mode="calib" forward.
     quant: bool = False
+    quant_mode: str = "dynamic"
 
     def setup(self):
         cfg = self.config
@@ -75,7 +78,8 @@ class Generator(nn.Module):
             adain_dim=cfg.adain_param_dim,
             dtype=dtype,
         )
-        self.dec = Decoder(dim=cfg.style_dim, dtype=dtype, quant=self.quant)
+        self.dec = Decoder(dim=cfg.style_dim, dtype=dtype, quant=self.quant,
+                           quant_mode=self.quant_mode)
         # mix: concat(style[-1], content) channels -> Dense back to style_dim
         # (GAN_word/modules_tro.py:252-259).  Implemented as a split dense
         # (same kernel layout) so a batch-1 style feature broadcasts against

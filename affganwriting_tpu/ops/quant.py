@@ -98,6 +98,38 @@ def dyn_int8_conv(x, w, bias=None, *, padding="VALID", strides=(1, 1),
     return y.astype(out_dtype)
 
 
+def static_int8_conv(x, w, amax, bias=None, *, padding="VALID",
+                     strides=(1, 1), out_dtype=jnp.bfloat16,
+                     pad: int = 0, pad_type: str = "reflect"):
+    """int8 conv with a STATIC (calibrated) per-tensor activation scale.
+
+    Unlike ``dyn_int8_conv`` there is no amax pass: the quantize is pure
+    elementwise and XLA fuses it into the producer's epilogue, so the
+    inter-op tensor is *written* int8 (half the bf16 traffic) instead of
+    costing an extra read.  ``amax`` comes from a calibration forward
+    (max |x| over a representative batch — see the decoder's ``calib``
+    quant mode); samples beyond the calibrated range clip.
+
+    ``pad`` spatial-pads AFTER the quantize (reflect padding commutes with
+    elementwise quantization), so the pad copy moves int8, not bf16.
+    """
+    sx = jnp.maximum(amax, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / sx)),
+                  -127, 127).astype(jnp.int8)
+    if pad:
+        from affganwriting_tpu.models.blocks import pad2d
+
+        xq = pad2d(xq, pad, pad_type)
+    wq, sw = quantize_weight(w.astype(jnp.float32))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * ((sx / 127.0) * sw)
+    if bias is not None:
+        y = y + bias
+    return y.astype(out_dtype)
+
+
 def _vgg_layers(variables) -> list[dict[str, Any]]:
     """Extract the VGG trunk's conv+BN stacks as folded (w, b) pairs.
 
@@ -147,10 +179,11 @@ def folded_vgg_apply(folded, img, dtype=jnp.bfloat16):
 
 
 def nn_max_pool(x):
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-        else jnp.iinfo(x.dtype).min,
-        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        x, jnp.asarray(init, x.dtype), jax.lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 def prepare_vgg_quant(rec_variables, calib_images) -> dict[str, Any]:
@@ -161,12 +194,18 @@ def prepare_vgg_quant(rec_variables, calib_images) -> dict[str, Any]:
     _, amaxes = jax.jit(lambda im: folded_vgg_apply(folded, im))(
         calib_images)
     layers = []
-    for layer, amax in zip(folded, amaxes):
-        wq, sw = quantize_weight(jnp.asarray(layer["w"], jnp.float32))
-        layers.append({
+    for i, (layer, amax) in enumerate(zip(folded, amaxes)):
+        w = jnp.asarray(layer["w"], jnp.float32)
+        wq, sw = quantize_weight(w)
+        entry = {
             "wq": wq, "sw": sw, "b": layer["b"],
             "amax": jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-6),
-        })
+        }
+        if i == 0:
+            # grayscale fold: conv(concat(x,x,x), w) == conv(x, sum_c w_c)
+            wq_g, sw_g = quantize_weight(w.sum(axis=2, keepdims=True))
+            entry["wq_gray"], entry["sw_gray"] = wq_g, sw_g
+        layers.append(entry)
     return {"layers": layers}
 
 
@@ -174,20 +213,46 @@ def vgg_quant_apply(q, img, dtype=jnp.bfloat16):
     """int8 trunk forward: (B, 64, 216, 1|3) -> (B, 4, 13, 512) bf16.
 
     Matches VGGTrunk (inference mode) up to quantization error; the tail
-    (BiGRU + decoder) stays bf16/f32 via Recognizer.read_features."""
-    if img.shape[-1] == 1:
+    (BiGRU + decoder) stays bf16/f32 via Recognizer.read_features.
+
+    Layout discipline: every inter-layer tensor is carried int8 — each
+    conv's epilogue fuses dequant+bias+ReLU+*next-layer quantize* and
+    writes int8; max-pools run on the int8 tensor directly.  This is
+    numerically identical to pool-then-quantize (max commutes with the
+    monotone quantize map and ReLU'd tensors keep their amax through
+    pooling) but moves 1 byte/elem instead of 2-3 across every layer
+    boundary — the trunk is partly HBM-bound at the full-res layers.
+
+    The grayscale input replicated to 3 channels is folded into the first
+    kernel instead (``conv(concat(x,x,x), w) == conv(x, sum_c w_c)``,
+    folded at ``prepare_vgg_quant`` time) — no concat materialization.
+    """
+    layers = q["layers"]
+    gray = img.shape[-1] == 1
+    if gray and "wq_gray" not in layers[0]:
         img = jnp.concatenate([img] * 3, axis=-1)
-    x = img
+        gray = False
+    x_q = quantize_act(img, layers[0]["amax"])
     ci = 0
+    n = len(layers)
     for v in _trunk_plan():
         if v == "M":
-            x = nn_max_pool(x)
+            x_q = nn_max_pool(x_q)
         else:
-            layer = q["layers"][ci]
-            amax = layer["amax"]
-            xq = quantize_act(x, amax)
-            y = int8_conv(xq, layer["wq"], amax / 127.0, layer["sw"],
-                          layer["b"], out_dtype=dtype)
-            x = jax.nn.relu(y)
+            layer = layers[ci]
+            wq = layer["wq_gray"] if (gray and ci == 0) else layer["wq"]
+            sw = layer["sw_gray"] if (gray and ci == 0) else layer["sw"]
+            acc = jax.lax.conv_general_dilated(
+                x_q, wq, (1, 1), "SAME", dimension_numbers=_DN,
+                preferred_element_type=jnp.int32)
+            y = jax.nn.relu(
+                acc.astype(jnp.float32) * ((layer["amax"] / 127.0) * sw)
+                + layer["b"])
+            if ci + 1 < n:
+                # quantize with the NEXT conv's calibrated scale inside
+                # this epilogue; the intervening pool (if any) commutes
+                x_q = quantize_act(y, layers[ci + 1]["amax"])
+            else:
+                out = y.astype(dtype)
             ci += 1
-    return x
+    return out

@@ -159,6 +159,30 @@ def _run_gen_read(batch: int) -> dict:
             "fetch_mb_per_sec": total / dt / 1e6}
 
 
+def _run_gen_read_int8(batch: int) -> dict:
+    """The w8a8 serving mode (ops/quant.py): R's VGG trunk int8 with
+    static calibrated scales, calibration batch = one generated batch.
+    Opt-in mode — rides in ``extra`` next to the bf16 headline."""
+    from affganwriting_tpu.gen.inference import (
+        make_generate_and_read_fn, make_generate_and_read_quant_fn)
+    from affganwriting_tpu.ops.quant import prepare_vgg_quant
+
+    cfg, gen_vars, rec_vars, style, labels = _setup(batch)
+    base = make_generate_and_read_fn(cfg)
+    calib_imgs, _ = base(gen_vars, rec_vars, style, labels)
+    qparams = prepare_vgg_quant(rec_vars, calib_imgs)
+    fn = make_generate_and_read_quant_fn(cfg)
+
+    styles = _stream_styles(style, N_STREAM)
+    _sync(fn(gen_vars, rec_vars, qparams, styles[0], labels)[1])
+    t0 = time.perf_counter()
+    preds = [fn(gen_vars, rec_vars, qparams, s, labels)[1] for s in styles]
+    for p in preds:
+        _sync(p)
+    stream = N_STREAM * batch / (time.perf_counter() - t0)
+    return {"stream": stream}
+
+
 def _run_gen_only(batch: int) -> dict:
     from affganwriting_tpu.gen.inference import make_generate_fn
 
@@ -279,6 +303,10 @@ def main():
         "gen_read_percall_imgs_per_sec": round(res["percall"], 1),
     }
     if "--quick" not in sys.argv:
+        int8, b_q = _try(_run_gen_read_int8, batches)
+        if int8 is not None:
+            extra["gen_read_int8_imgs_per_sec"] = round(int8["stream"], 1)
+            extra["gen_read_int8_batch"] = b_q
         gen_only, b_g = _try(_run_gen_only, batches)
         if gen_only is not None:
             extra["gen_only_imgs_per_sec"] = round(gen_only["stream"], 1)

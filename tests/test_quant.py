@@ -122,6 +122,39 @@ def test_quant_decoder_matches_bf16_decoder():
     assert corr > 0.99, corr
 
 
+def test_static_quant_decoder_calibrates_and_matches():
+    """calib mode records per-site amaxes into the "quant" collection;
+    static mode then reproduces the bf16 decoder as closely as the
+    dynamic path does (same inputs in-calibration-range by construction).
+    """
+    from affganwriting_tpu.models.decoder import Decoder
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    content = jnp.asarray(rng.normal(size=(B, 8, 12, dim)), jnp.float32)
+    adain = jnp.asarray(rng.normal(size=(B, 8 * dim)), jnp.float32)
+    pyramid = [None, None, None,
+               jnp.asarray(rng.normal(size=(B, 4, 6, dim)), jnp.float32),
+               jnp.asarray(rng.normal(size=(B, 8, 12, dim)), jnp.float32)]
+    base = Decoder(dim=dim, dtype=jnp.float32)
+    v = base.init(jax.random.key(0), content, adain, pyramid)
+    y0 = np.asarray(base.apply(v, content, adain, pyramid))
+
+    calib = Decoder(dim=dim, dtype=jnp.float32, quant=True,
+                    quant_mode="calib")
+    y_c, mut = calib.apply(v, content, adain, pyramid, mutable=["quant"])
+    # calib forward is the bf16 path (f32 here) — identical output
+    np.testing.assert_allclose(np.asarray(y_c), y0, rtol=1e-5, atol=1e-5)
+    amaxes = jax.tree.leaves(mut["quant"])
+    assert len(amaxes) > 0 and all(float(a) > 0 for a in amaxes)
+
+    static = Decoder(dim=dim, dtype=jnp.float32, quant=True,
+                     quant_mode="static")
+    y1 = np.asarray(static.apply({**v, **mut}, content, adain, pyramid))
+    corr = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 def test_quant_pipeline_builder_runs(rec_setup):
     """make_generate_and_read_quant_fn compiles and decodes (tiny check --
     the TPU A/B lives in cli/bench_kernels.py / bench.py)."""
