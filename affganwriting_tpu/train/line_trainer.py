@@ -224,12 +224,17 @@ class LineGanTrainer:
     def _put(self, x):
         """Batch-leading array -> device, sharded over 'data' when a mesh
         is active (leading dim must divide by the mesh's data axis)."""
-        x = jnp.asarray(x)
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # multi-host: this process holds only its slice of the
+                # global batch (parallel/multihost.py)
+                from affganwriting_tpu.parallel.multihost import global_batch
+
+                return global_batch(self.mesh, {"x": np.asarray(x)})["x"]
             from affganwriting_tpu.parallel.mesh import batch_sharding
 
-            x = jax.device_put(x, batch_sharding(self.mesh))
-        return x
+            return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
+        return jnp.asarray(x)
 
     def _variables(self, state: LineState):
         v = {"params": {**state.main_params, "hwr": state.hwr_params}}
@@ -736,7 +741,12 @@ class LineGanTrainer:
 
         prev = signal.signal(signal.SIGINT, _sigint)
         try:
-            for batch in batches:
+            # background-thread batch prep (reference num_workers
+            # equivalent — data/prefetch.py); early break closes the
+            # generator, which stops and joins the producer thread
+            from affganwriting_tpu.data.prefetch import prefetch
+
+            for batch in prefetch(batches):
                 if it >= iterations:
                     break
                 state, metrics = self.train_iteration(state, it, batch)

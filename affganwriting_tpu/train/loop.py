@@ -25,6 +25,7 @@ from affganwriting_tpu.parallel.mesh import (
     shard_batch,
     shard_state,
 )
+from affganwriting_tpu.data.prefetch import prefetch
 from affganwriting_tpu.data.words import WordStyleDataset
 from affganwriting_tpu.eval.cer import CERAccumulator, cer_counts
 from affganwriting_tpu.train.eval_step import make_eval_step
@@ -114,8 +115,15 @@ class WordGanTrainer:
             self.state = shard_state(mesh, self.state)
 
     def _place(self, batch: dict) -> dict:
-        return shard_batch(self.mesh, batch) if self.mesh is not None \
-            else batch
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            # multi-host DP: each process feeds its local slice of the
+            # global batch (parallel/multihost.py)
+            from affganwriting_tpu.parallel.multihost import global_batch
+
+            return global_batch(self.mesh, batch)
+        return shard_batch(self.mesh, batch)
 
     def train_epoch(self, epoch: int) -> dict:
         cer_tr = CERAccumulator()
@@ -130,7 +138,10 @@ class WordGanTrainer:
         # round-trip can dominate the step)
         pending: list[tuple[dict, dict, dict]] = []
         gsteps = getattr(self, "_gsteps", 0)
-        for batch in self.train_data.batches(epoch=epoch):
+        # host batch prep (augmentation/rendering) overlaps device compute
+        # on a background thread — the reference's num_workers equivalent
+        # (data/prefetch.py)
+        for batch in prefetch(self.train_data.batches(epoch=epoch)):
             self.rng, step_key = jax.random.split(self.rng)
             self.state, metrics, extras = self.train_step(
                 self.state, self._place(batch), step_key)
