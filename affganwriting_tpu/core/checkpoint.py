@@ -115,10 +115,20 @@ class CheckpointManager:
 
     def restore(self, name: str, target: Any):
         """Restore into the structure of ``target`` (an abstract or concrete
-        state pytree)."""
+        state pytree).
+
+        The abstract target carries an explicit single-device sharding on
+        THIS backend: orbax otherwise falls back to the sharding recorded
+        at save time, which cannot be reconstructed across backends — a
+        TPU-trained checkpoint would refuse to load in a CPU process
+        ("sharding ... Got None"), breaking the train-on-TPU /
+        drive-REPL-or-eval-on-CPU path.  Mesh placement after restore is
+        the caller's job (``shard_state``)."""
         self._recover_swap(self._path(name))
+        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target)
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+            target)
         return self._ckptr.restore(self._path(name), shapes)
 
     def load_config(self, name: str) -> WordGanConfig:

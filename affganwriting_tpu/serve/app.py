@@ -57,8 +57,12 @@ def _load_backend(ckpt_dir=None, styles_path=None, seed=0,
             # bare orbax LineState dir (pre-manager format)
             import orbax.checkpoint as ocp
 
+            # explicit this-backend sharding: a TPU-trained checkpoint must
+            # load in a CPU serving process (core/checkpoint.py:restore)
+            sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
             shapes = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+                state)
             state = ocp.StandardCheckpointer().restore(ckpt_dir, shapes)
     if styles_path and os.path.exists(styles_path):
         library = StyleLibrary.load(styles_path)
