@@ -160,23 +160,28 @@ def _run_gen_read(batch: int) -> dict:
 
 
 def _run_gen_read_int8(batch: int) -> dict:
-    """The w8a8 serving mode (ops/quant.py): R's VGG trunk int8 with
-    static calibrated scales, calibration batch = one generated batch.
-    Opt-in mode — rides in ``extra`` next to the bf16 headline."""
+    """The w8a8 serving mode (ops/quant.py): R's VGG trunk int8 + G's
+    decoder convs int8 with STATIC calibrated scales (the winning
+    combination from scripts/ab_int8_static.py — dynamic G loses),
+    calibration batch = one generated batch.  Opt-in mode — rides in
+    ``extra`` next to the bf16 headline."""
     from affganwriting_tpu.gen.inference import (
-        make_generate_and_read_fn, make_generate_and_read_quant_fn)
+        calibrate_gen_quant, make_generate_and_read_fn,
+        make_generate_and_read_quant_fn)
     from affganwriting_tpu.ops.quant import prepare_vgg_quant
 
     cfg, gen_vars, rec_vars, style, labels = _setup(batch)
     base = make_generate_and_read_fn(cfg)
     calib_imgs, _ = base(gen_vars, rec_vars, style, labels)
     qparams = prepare_vgg_quant(rec_vars, calib_imgs)
-    fn = make_generate_and_read_quant_fn(cfg)
+    gen_vars_cal = calibrate_gen_quant(cfg, gen_vars, style, labels)
+    fn = make_generate_and_read_quant_fn(cfg, quant_gen="static")
 
     styles = _stream_styles(style, N_STREAM)
-    _sync(fn(gen_vars, rec_vars, qparams, styles[0], labels)[1])
+    _sync(fn(gen_vars_cal, rec_vars, qparams, styles[0], labels)[1])
     t0 = time.perf_counter()
-    preds = [fn(gen_vars, rec_vars, qparams, s, labels)[1] for s in styles]
+    preds = [fn(gen_vars_cal, rec_vars, qparams, s, labels)[1]
+             for s in styles]
     for p in preds:
         _sync(p)
     stream = N_STREAM * batch / (time.perf_counter() - t0)
@@ -307,6 +312,7 @@ def main():
         if int8 is not None:
             extra["gen_read_int8_imgs_per_sec"] = round(int8["stream"], 1)
             extra["gen_read_int8_batch"] = b_q
+            extra["gen_read_int8_mode"] = "w8a8: R trunk + static G"
         gen_only, b_g = _try(_run_gen_only, batches)
         if gen_only is not None:
             extra["gen_only_imgs_per_sec"] = round(gen_only["stream"], 1)
