@@ -39,6 +39,11 @@ def main(argv=None):
                         "width (the reference's beam 3, modules_tro.py:637);"
                         " 0 = greedy inside the gen+read program")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", default="none",
+                   help="DP-shard the gen+read pipeline over a device mesh "
+                        "('auto', '8', '4x2' — parallel/mesh.py specs): "
+                        "serving scale-out; word batches pad to the "
+                        "data-axis multiple and trim after")
     args = p.parse_args(argv)
 
     import jax
@@ -85,6 +90,26 @@ def main(argv=None):
         state = ck.restore(args.ckpt_name, state)
 
     run = make_generate_and_read_fn(cfg)
+    mesh = None
+    if args.mesh and args.mesh != "none":
+        from affganwriting_tpu.parallel.mesh import DATA_AXIS, parse_mesh_spec
+
+        mesh = parse_mesh_spec(args.mesh)
+    if mesh is not None:
+        from affganwriting_tpu.gen.inference import make_sharded_pipeline
+
+        spipe = make_sharded_pipeline(cfg, mesh)
+        n_data = mesh.shape[DATA_AXIS]
+
+        def run(gen_vars, rec_vars, stack, labels):  # noqa: F811
+            b = labels.shape[0]
+            pad = (-b) % n_data
+            if pad:
+                labels = np.concatenate(
+                    [labels, np.repeat(labels[:1], pad, axis=0)])
+            imgs, preds = spipe(gen_vars, rec_vars, stack, labels)
+            return imgs[:b], preds[:b]
+
     gen_vars = variables_of(state.gen)
     rec_vars = variables_of(state.rec)
     beam_fn = None

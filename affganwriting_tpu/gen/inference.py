@@ -153,9 +153,10 @@ def make_generate_and_read_quant_fn(config: WordGanConfig, *,
       scales; ``"static"`` uses calibrated per-tensor scales (pass
       ``gen_variables`` through :func:`calibrate_gen_quant` first — the
       quantize then fuses into the producer epilogues with no amax pass).
-      Default OFF: dynamic measured 0.95x on v5e (the amax pass eats the
-      MXU win — docs/ARCHITECTURE.md int8 section); the R-side trunk
-      quant always wins (1.33x recognize).
+      Default OFF for compatibility, but ``"static"`` WINS on v5e (1.34x
+      gen-only, 1.43x pipeline with the int8 R trunk); ``"dynamic"``
+      loses (0.90x — the amax pass eats the MXU win).  Measured A/B:
+      docs/ARCHITECTURE.md int8 section / scripts/ab_int8_static.py.
 
     Opt-in serving mode; quality gates in tests/test_quant.py, measured
     A/B in docs/ARCHITECTURE.md.
@@ -201,6 +202,60 @@ def make_generate_and_read_quant_fn(config: WordGanConfig, *,
 
     run.run_gen = run_gen
     run.run_rec = run_rec_q
+    return run
+
+
+def make_sharded_pipeline(config: WordGanConfig, mesh):
+    """Serving scale-out: generate+recognize DP-sharded over a device Mesh.
+
+    The multi-chip form of the offline sweep (reference:
+    GAN_word/tt.test_single_writer.4_scenarios.py:152-181 is single-GPU;
+    the reference has no multi-device inference at all).  The word batch
+    shards over the mesh's 'data' axis; model variables replicate except
+    where the TP rules apply (G's text-encoder FC pyramid rides the
+    'model' axis, parallel/mesh.py), and a batch-1 style stack replicates
+    so the per-shard pyramid broadcast still holds.  Pure DP inserts no
+    collectives — each chip runs the same two programs the single-chip
+    pipeline uses, on its slice of the batch.
+
+    Returns ``run(gen_variables, rec_variables, style_stack, labels)``.
+    ``run.place(gen_variables, rec_variables, style_stack)`` pre-places
+    the weights/style once (reuse across batches to avoid re-transfer);
+    ``run.shard_labels(labels)`` places a label batch.  The label batch
+    must divide by the mesh's 'data' extent.
+    """
+    from affganwriting_tpu.parallel.mesh import (
+        DATA_AXIS, batch_sharding, replicated, shard_params)
+
+    base = make_generate_and_read_fn(config)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def place(gen_variables, rec_variables, style_stack):
+        gv = shard_params(mesh, gen_variables)
+        rv = shard_params(mesh, rec_variables)
+        s = style_stack.shape[0]
+        sh = replicated(mesh) if s == 1 else batch_sharding(mesh)
+        if s != 1 and s % n_data:
+            raise ValueError(
+                f"style stack batch {s} does not divide over the "
+                f"{n_data}-way data axis; use one stack or pad")
+        return gv, rv, jax.device_put(style_stack, sh)
+
+    def shard_labels(labels):
+        b = labels.shape[0]
+        if b % n_data:
+            raise ValueError(
+                f"label batch {b} does not divide over the {n_data}-way "
+                "data axis; pad or trim the word list")
+        return jax.device_put(jnp.asarray(labels), batch_sharding(mesh))
+
+    def run(gen_variables, rec_variables, style_stack, labels):
+        gv, rv, st = place(gen_variables, rec_variables, style_stack)
+        return base(gv, rv, st, shard_labels(labels))
+
+    run.place = place
+    run.shard_labels = shard_labels
+    run.base = base
     return run
 
 

@@ -19,24 +19,25 @@ def _setup():
         np.random.default_rng(0).normal(size=(B, 64, 216, 1)), jnp.float32)
     labels = jnp.asarray(
         [VOCAB.pad_label("beam", 12)] * B, jnp.int32)
-    v = rec.init(jax.random.key(0), img, labels)
+    v = jax.jit(rec.init)(jax.random.key(0), img, labels)
     return rec, v, img, labels
 
 
 def test_beam_shapes_and_beam1_equals_greedy():
     rec, v, img, labels = _setup()
-    seq1, score1 = rec.apply(
-        v, img, beam_size=1, method=rec.beam_search)
+    seq1, score1 = jax.jit(lambda v_, im: rec.apply(
+        v_, im, beam_size=1, method=rec.beam_search))(v, img)
     assert seq1.shape == (B, 11) and score1.shape == (B,)
 
-    logits, _ = rec.apply(v, img, labels)  # free-running greedy
+    logits, _ = jax.jit(rec.apply)(v, img, labels)  # free-running greedy
     greedy = np.asarray(jnp.argmax(logits, axis=-1))
     np.testing.assert_array_equal(np.asarray(seq1), greedy)
 
 
 def test_beam3_runs_and_eos_freezes():
     rec, v, img, labels = _setup()
-    seq3, s3 = rec.apply(v, img, beam_size=3, method=rec.beam_search)
+    seq3, s3 = jax.jit(lambda v_, im: rec.apply(
+        v_, im, beam_size=3, method=rec.beam_search))(v, img)
     assert seq3.shape == (B, 11)
     assert np.isfinite(np.asarray(s3)).all()
     # once END is emitted, every later token must be END (frozen beams)

@@ -22,8 +22,8 @@ IMG = jnp.asarray(RNG.normal(size=(B, H, W, 1)), jnp.float32)
 def test_crnn_and_cnnonly_log_probs():
     for cls in (CRNN, CNNOnlyHWR):
         m = cls(nclass=K, dtype=jnp.float32)
-        v = m.init(jax.random.key(0), IMG)
-        out = m.apply(v, IMG)
+        v = jax.jit(m.init)(jax.random.key(0), IMG)
+        out = jax.jit(m.apply)(v, IMG)
         assert out.ndim == 3 and out.shape[0] == B and out.shape[2] == K
         sums = np.asarray(jnp.sum(jnp.exp(out), axis=-1))
         np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
@@ -70,8 +70,8 @@ def test_char_style_encoder():
 
 def test_discriminator_ap_heads():
     d = DiscriminatorAP(dim=64, use_low=True, use_med=True)
-    v = d.init(jax.random.key(0), IMG)
-    heads = d.apply(v, IMG)
+    v = jax.jit(d.init)(jax.random.key(0), IMG)
+    heads = jax.jit(d.apply)(v, IMG)
     assert len(heads) == 2
     for h in heads:
         assert h.shape[0] == B and h.ndim == 2
@@ -79,10 +79,11 @@ def test_discriminator_ap_heads():
 
 def test_autoencoder():
     ae = Autoencoder()
-    v = ae.init(jax.random.key(0), IMG)
-    recon = ae.apply(v, IMG)
+    v = jax.jit(ae.init)(jax.random.key(0), IMG)
+    recon = jax.jit(ae.apply)(v, IMG)
     assert recon.shape == IMG.shape
-    feats = ae.apply(v, IMG, method=ae.encode)
+    feats = jax.jit(lambda v_, im: ae.apply(v_, im,
+                                            method=ae.encode))(v, IMG)
     assert len(feats) == 5
     assert feats[-1].shape[-1] == 32  # 2tight bottleneck
 
@@ -109,12 +110,15 @@ def test_hw_with_style_end_to_end():
     lengths = jnp.full((B,), 6, jnp.int32)
     rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
             "spacing": jax.random.key(2)}
-    v = m.init(rngs, img_in, label, lengths, method=m.init_all)
-    style, pred = m.apply(v, img_in, method=m.extract_style)
+    v = jax.jit(lambda r, im, la, le: m.init(
+        r, im, la, le, method=m.init_all))(rngs, img_in, label, lengths)
+    style, pred = jax.jit(lambda v_, im: m.apply(
+        v_, im, method=m.extract_style))(v, img_in)
     assert style.shape == (B, 128)
-    img, spaced, counts = m.apply(
+    img, spaced, counts = jax.jit(lambda v_, la, le, st, r: m.apply(
+        v_, la, le, st, rngs=r))(
         v, label, lengths, style,
-        rngs={"noise": jax.random.key(3), "spacing": jax.random.key(4)})
+        {"noise": jax.random.key(3), "spacing": jax.random.key(4)})
     assert img.shape == (B, 64, 4 * mgl, 1)
     assert spaced.shape == (B, mgl, ke)
     assert counts.shape == (B, 6, 2)

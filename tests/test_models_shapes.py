@@ -75,12 +75,12 @@ def test_resnet_style_encoders(enc):
 def test_discriminator_writer_cla_shapes():
     img = jnp.zeros((B, 64, 216, 1), jnp.float32)
     dis = Discriminator(dtype=jnp.float32)
-    v = dis.init(jax.random.key(0), img)
-    assert dis.apply(v, img).shape == (B, 1024)
+    v = jax.jit(dis.init)(jax.random.key(0), img)
+    assert jax.jit(dis.apply)(v, img).shape == (B, 1024)
 
     cla = WriterClassifier(num_writers=500, dtype=jnp.float32)
-    v = cla.init(jax.random.key(0), img)
-    assert cla.apply(v, img).shape == (B, 500)
+    v = jax.jit(cla.init)(jax.random.key(0), img)
+    assert jax.jit(cla.apply)(v, img).shape == (B, 500)
 
 
 _REC_CACHE = {}
@@ -92,14 +92,14 @@ def _recognizer():
     if "rec" not in _REC_CACHE:
         img = jnp.zeros((B, 64, 216, 1), jnp.float32)
         rec = Recognizer(dtype=jnp.float32)
-        v = rec.init(jax.random.key(0), img, _labels())
+        v = jax.jit(rec.init)(jax.random.key(0), img, _labels())
         _REC_CACHE["rec"] = (rec, v, img)
     return _REC_CACHE["rec"]
 
 
 def test_recognizer_shapes():
     rec, v, img = _recognizer()
-    logits, attns = rec.apply(v, img, _labels())
+    logits, attns = jax.jit(rec.apply)(v, img, _labels())
     assert logits.shape == (B, 11, 55)
     assert attns.shape == (B, 11, 13)
     # attention rows are distributions
@@ -109,11 +109,11 @@ def test_recognizer_shapes():
 
 def test_recognizer_teacher_forcing_runs():
     rec, v, img = _recognizer()
-    logits, _ = rec.apply(
-        v, img, _labels(), train=True, teacher_rate=0.5,
-        rngs={"teacher": jax.random.key(1), "dropout": jax.random.key(2)},
+    logits, _ = jax.jit(lambda v_, im, la, r: rec.apply(
+        v_, im, la, train=True, teacher_rate=0.5, rngs=r,
         mutable=["batch_stats"],
-    )[0]
+    ))(v, img, _labels(),
+       {"teacher": jax.random.key(1), "dropout": jax.random.key(2)})[0]
     assert logits.shape == (B, 11, 55)
 
 

@@ -168,3 +168,50 @@ def test_parse_mesh_spec():
     assert m.shape == {"data": 4, "model": 2}
     m = parse_mesh_spec("auto")
     assert m.shape["data"] == len(jax.devices())
+
+
+@pytest.mark.slow  # two pipeline compiles (single + sharded) on 1-core CPU
+def test_sharded_inference_pipeline_matches_single_device():
+    """Serving scale-out (gen/inference.py:make_sharded_pipeline): the
+    DP-sharded generate+recognize pipeline reproduces the single-device
+    pipeline bitwise-ish — per-sample math (convs, INs, free-running
+    decode) is untouched by batch partitioning — and the outputs really
+    live on all 8 devices."""
+    from affganwriting_tpu.gen.inference import (
+        encode_labels,
+        make_generate_and_read_fn,
+        make_sharded_pipeline,
+    )
+    from affganwriting_tpu.train.state import build_models
+
+    assert len(jax.devices()) >= 8
+    gen, _, _, rec = build_models(CFG)
+    rng = np.random.default_rng(3)
+    style = np.asarray(
+        rng.normal(size=(1, CFG.img_height, CFG.img_width,
+                         CFG.style_stack)), np.float32)
+    labels = encode_labels(
+        ["word", "deep", "mesh", "chip", "data", "axis", "text", "pens"],
+        CFG.output_max_len)
+    gen_vars = jax.jit(gen.init)(jax.random.key(0), style, labels[:1])
+    img0 = np.zeros((1, CFG.img_height, CFG.img_width, 1), np.float32)
+    rec_vars = jax.jit(rec.init)(jax.random.key(1), img0, labels[:1])
+
+    base = make_generate_and_read_fn(CFG)
+    imgs0, preds0 = base(gen_vars, rec_vars, style, labels)
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    run = make_sharded_pipeline(CFG, mesh)
+    imgs1, preds1 = run(gen_vars, rec_vars, style, labels)
+
+    assert len(imgs1.sharding.device_set) == 8
+    assert len(preds1.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(imgs0), np.asarray(imgs1), rtol=0, atol=2e-5)
+    # free-running decode is discrete; identical per-sample math must
+    # produce identical tokens
+    np.testing.assert_array_equal(np.asarray(preds0), np.asarray(preds1))
+
+    # a batch that does not divide over the data axis fails loudly
+    with pytest.raises(ValueError, match="does not divide"):
+        run.shard_labels(labels[:6])

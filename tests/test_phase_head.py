@@ -77,9 +77,10 @@ def test_decoder_modes_share_params_and_agree_interior():
                jnp.asarray(rng.normal(size=(1, 8, 27, 512)), jnp.float32)]
     fast = Decoder(subpixel_upsample=True, dtype=jnp.float32)
     exact = Decoder(subpixel_upsample=False, dtype=jnp.float32)
-    v = fast.init(jax.random.key(0), content, adain, pyramid)
-    y_fast = np.asarray(fast.apply(v, content, adain, pyramid))
-    y_exact = np.asarray(exact.apply(v, content, adain, pyramid))
+    v = jax.jit(fast.init)(jax.random.key(0), content, adain, pyramid)
+    y_fast = np.asarray(jax.jit(fast.apply)(v, content, adain, pyramid))
+    y_exact = np.asarray(jax.jit(exact.apply)(
+        v, content, adain, pyramid))
     assert y_fast.shape == y_exact.shape == (1, 64, 216, 1)
     # per-op interiors are exact (tests above), but instance-norm stats
     # pool over border pixels so the modes diverge gradually through the

@@ -26,9 +26,13 @@ B = 2
 def rec_setup():
     rec = Recognizer(dtype=jnp.float32)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(np.tanh(rng.normal(size=(B, 64, 216, 1))), jnp.float32)
+    # width 104, not the serving 216: the trunk is fully convolutional and
+    # every gate here is scale-free (corr / rel-L2 / tail equivalence);
+    # int8+bf16 conv EMULATION on this 1-core CPU is execution-bound, so
+    # width is the knob that keeps the fast suite fast
+    img = jnp.asarray(np.tanh(rng.normal(size=(B, 64, 104, 1))), jnp.float32)
     labels = jnp.asarray([[1] + [10] * 11] * B, jnp.int32)
-    v = rec.init(jax.random.key(0), img, labels)
+    v = jax.jit(rec.init)(jax.random.key(0), img, labels)
     # give BN stats non-trivial values so the fold is actually exercised
     bs = jax.tree.map(lambda x: x, v["batch_stats"])
     v = {"params": v["params"], "batch_stats": jax.tree.map(
@@ -45,12 +49,15 @@ def test_folded_trunk_matches_bn_inference(rec_setup):
     tv = {"params": v["params"]["enc"]["vgg"],
           "batch_stats": v["batch_stats"]["enc"]["vgg"]}
     img3 = jnp.concatenate([img] * 3, axis=-1)
-    want = np.asarray(trunk.apply(tv, img3, train=False))
+    want = np.asarray(jax.jit(
+        lambda tv, im: trunk.apply(tv, im, train=False))(tv, img3))
 
     from affganwriting_tpu.ops.quant import _vgg_layers
 
     folded = _vgg_layers(v)
-    got, amaxes = folded_vgg_apply(folded, img, dtype=jnp.float32)
+    got, amaxes = jax.jit(
+        lambda f, im: folded_vgg_apply(f, im, dtype=jnp.float32))(
+        folded, img)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
     assert len(amaxes) == 16   # VGG19: 16 convs
 
@@ -69,9 +76,13 @@ def test_quant_trunk_feature_error(rec_setup):
     from affganwriting_tpu.ops.quant import _vgg_layers
 
     folded = _vgg_layers(v)
-    ref, _ = folded_vgg_apply(folded, img, dtype=jnp.float32)
+    ref, _ = jax.jit(
+        lambda f, im: folded_vgg_apply(f, im, dtype=jnp.float32))(
+        folded, img)
     q = prepare_vgg_quant(v, img)
-    got = vgg_quant_apply(q, img, dtype=jnp.float32)
+    got = jax.jit(
+        lambda q_, im: vgg_quant_apply(q_, im, dtype=jnp.float32))(
+        q, img)
     ref, got = np.asarray(ref).ravel(), np.asarray(got).ravel()
     corr = np.corrcoef(ref, got)[0, 1]
     assert corr > 0.98, corr
@@ -90,10 +101,16 @@ def test_read_features_is_the_bf16_tail(rec_setup):
     tv = {"params": v["params"]["enc"]["vgg"],
           "batch_stats": v["batch_stats"]["enc"]["vgg"]}
     img3 = jnp.concatenate([img] * 3, axis=-1)
-    feat = trunk.apply(tv, img3, train=False)
+    feat = jax.jit(
+        lambda tv_, im: trunk.apply(tv_, im, train=False))(tv, img3)
 
-    logits_full, _ = rec.apply(v, img, labels, train=False)
-    logits_tail, _ = rec.apply(v, feat, labels, method=rec.read_features)
+    logits_full, _ = jax.jit(
+        lambda v_, im, la: rec.apply(v_, im, la, train=False))(
+        v, img, labels)
+    logits_tail, _ = jax.jit(
+        lambda v_, f, la: rec.apply(v_, f, la,
+                                    method=rec.read_features))(
+        v, feat, labels)
     np.testing.assert_allclose(
         np.asarray(logits_tail), np.asarray(logits_full),
         rtol=1e-5, atol=1e-5)
@@ -114,9 +131,9 @@ def test_quant_decoder_matches_bf16_decoder():
                jnp.asarray(rng.normal(size=(B, 8, 12, dim)), jnp.float32)]
     base = Decoder(dim=dim, dtype=jnp.float32)
     quant = Decoder(dim=dim, dtype=jnp.float32, quant=True)
-    v = base.init(jax.random.key(0), content, adain, pyramid)
-    y0 = np.asarray(base.apply(v, content, adain, pyramid))
-    y1 = np.asarray(quant.apply(v, content, adain, pyramid))
+    v = jax.jit(base.init)(jax.random.key(0), content, adain, pyramid)
+    y0 = np.asarray(jax.jit(base.apply)(v, content, adain, pyramid))
+    y1 = np.asarray(jax.jit(quant.apply)(v, content, adain, pyramid))
     assert y0.shape == y1.shape
     corr = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
     assert corr > 0.99, corr
@@ -137,8 +154,8 @@ def test_static_quant_decoder_calibrates_and_matches():
                jnp.asarray(rng.normal(size=(B, 4, 6, dim)), jnp.float32),
                jnp.asarray(rng.normal(size=(B, 8, 12, dim)), jnp.float32)]
     base = Decoder(dim=dim, dtype=jnp.float32)
-    v = base.init(jax.random.key(0), content, adain, pyramid)
-    y0 = np.asarray(base.apply(v, content, adain, pyramid))
+    v = jax.jit(base.init)(jax.random.key(0), content, adain, pyramid)
+    y0 = np.asarray(jax.jit(base.apply)(v, content, adain, pyramid))
 
     calib = Decoder(dim=dim, dtype=jnp.float32, quant=True,
                     quant_mode="calib")
@@ -150,7 +167,8 @@ def test_static_quant_decoder_calibrates_and_matches():
 
     static = Decoder(dim=dim, dtype=jnp.float32, quant=True,
                      quant_mode="static")
-    y1 = np.asarray(static.apply({**v, **mut}, content, adain, pyramid))
+    y1 = np.asarray(jax.jit(static.apply)(
+        {**v, **mut}, content, adain, pyramid))
     corr = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
     assert corr > 0.99, corr
 
@@ -160,7 +178,12 @@ def test_quant_pipeline_builder_runs(rec_setup):
     the TPU A/B lives in cli/bench_kernels.py / bench.py)."""
     rec, v, img, labels = rec_setup
     q = prepare_vgg_quant(v, img)
-    feat = vgg_quant_apply(q, img, dtype=jnp.float32)
-    logits, _ = rec.apply(v, feat, labels, method=rec.read_features)
+    feat = jax.jit(
+        lambda q_, im: vgg_quant_apply(q_, im, dtype=jnp.float32))(
+        q, img)
+    logits, _ = jax.jit(
+        lambda v_, f, la: rec.apply(v_, f, la,
+                                    method=rec.read_features))(
+        v, feat, labels)
     pred = np.asarray(jnp.argmax(logits, axis=-1))
     assert pred.shape == (B, 11)
