@@ -7,6 +7,7 @@ library actions (gen/line_inference.py).  Each action maps 1:1:
     m  style vector math              A  author-average style
     R  random-style batch             t  MTurk set builder
     f  image-pair style transfer      u  UMAP image sheet
+    s  horizontal stretch sweep       v  Gaussian (VAE) style interpolation
     q  quit
 
 Non-interactive use: ``--script "r;q"`` feeds the prompt (newline/; split),
@@ -87,12 +88,37 @@ def main(argv=None):
         return input(prompt)
 
     while True:
-        c = ask("a/r/m/A/R/t/f/u/q? ")
+        c = ask("a/r/s/v/m/A/R/t/f/u/q? ")
         if not c or c[0] in "qed":
             break
         c = c[0]
         if c == "a":
             print(sorted(set(library.authors)))
+        elif c == "s":
+            # strech sweep (reference generate.py:278-306, interpolate_horz
+            # :830-852): stretch the DTW-spaced label of a batch
+            idx = int(ask("batch? ") or "0") % len(batches)
+            frames = li.stretch_sweep(trainer, state, batches[idx],
+                                      step=0.02,
+                                      key=jax.random.key(args.seed))
+            for b in range(frames.shape[1]):
+                for k in range(frames.shape[0]):
+                    li.save_line_png(frames[k, b], os.path.join(
+                        args.out, f"gen{b}_{k}.png"))
+            print(f"wrote {frames.shape[0]} stretch frames x "
+                  f"{frames.shape[1]} lines to {args.out}")
+        elif c == "v":
+            # Gaussian (VAE) random styles, interpolated like 'r'
+            n = int(ask("steps? ") or "4")
+            text = ask("text? ") or "hello world"
+            g = li.gaussian_styles(2, library.styles.shape[1],
+                                   seed=args.seed)
+            sweep = li.interpolate(g[0], g[1], n)
+            imgs = li.generate_lines(trainer, state, [text] * n, sweep,
+                                     charset)
+            for k, img in enumerate(imgs):
+                li.save_line_png(img, os.path.join(args.out, f"vae{k}.png"))
+            print(f"wrote {n} gaussian-style frames to {args.out}")
         elif c == "r":
             n = int(ask("steps? ") or "4")
             text = ask("text? ") or "hello world"

@@ -52,6 +52,14 @@ def main(argv=None):
     p.add_argument("--no-resume", dest="resume", action="store_false",
                    default=True,
                    help="ignore an existing latest checkpoint")
+    p.add_argument("--sheet-every", type=int, default=2000,
+                   help="periodic real|recon|gen image-sheet cadence "
+                        "(reference print_images); 0 disables")
+    p.add_argument("--pretrained-hwr", default=None,
+                   help="path to a cli/train_hwr.py 'hwr_final' checkpoint "
+                        "to load (frozen) into the recognizer slot — the "
+                        "reference's model.pretrained_hwr + hwr_frozen "
+                        "(hw_with_style.py:182-194)")
     args = p.parse_args(argv)
 
     import jax
@@ -110,7 +118,7 @@ def main(argv=None):
         trainer = LineGanTrainer(
             n_class=charset.n_class, max_gen_length=args.max_gen_length,
             lr=args.lr, seed=args.seed, iterations=args.iterations,
-            mesh=mesh)
+            mesh=mesh, pretrained_hwr=args.pretrained_hwr)
         state = trainer.init_state(first, jax.random.key(args.seed))
     logger = MetricsLogger(args.logdir)
 
@@ -130,7 +138,9 @@ def main(argv=None):
         val_batches_fn=val_batches if args.val_every else None,
         val_every=args.val_every, val_max_batches=args.val_batches,
         swa_start=args.swa_start, swa_state=swa_state,
-        start_iteration=start_iteration)
+        start_iteration=start_iteration,
+        sheet_every=args.sheet_every,
+        sheet_dir=f"{args.logdir}/sheets")
 
 
 if __name__ == "__main__":

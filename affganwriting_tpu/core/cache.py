@@ -26,15 +26,28 @@ import os
 _DEFAULT = "~/.cache/affganwriting_jax_tpu"
 
 
+# Stable per-host-model cpuinfo fields.  Round 3 keyed on model name +
+# flags only and a live VM migration still loaded stale XLA:CPU AOT
+# entries ("machine type ... doesn't match" warnings, MULTICHIP_r03):
+# the migrated host reported the same model string/flag set but differed
+# in the microarchitectural fields XLA's codegen keys on.  Key on all of
+# them (everything stable except runtime-volatile MHz/bogomips).
+_CPUINFO_FIELDS = (
+    "vendor_id", "cpu family", "model", "model name", "stepping",
+    "microcode", "cache size", "flags", "bugs", "address sizes",
+    "cache_alignment", "fpu", "cpuid level", "siblings", "cpu cores",
+)
+
+
 @functools.lru_cache(maxsize=1)
 def host_tag() -> str:
-    """Short fingerprint of the host CPU (model name + ISA flags)."""
+    """Short fingerprint of the host CPU (full stable cpuinfo profile)."""
     import hashlib
 
     try:
         with open("/proc/cpuinfo") as f:
             lines = [ln for ln in f
-                     if ln.startswith(("model name", "flags"))]
+                     if ln.split(":", 1)[0].strip() in _CPUINFO_FIELDS]
         blob = "".join(sorted(set(lines)))
     except OSError:
         import platform

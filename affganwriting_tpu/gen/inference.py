@@ -231,7 +231,9 @@ def make_sharded_pipeline(config: WordGanConfig, mesh):
     n_data = mesh.shape[DATA_AXIS]
 
     def place(gen_variables, rec_variables, style_stack):
-        gv = shard_params(mesh, gen_variables)
+        # gen carries the TP-ruled layers (coverage asserted); the
+        # recognizer legitimately replicates
+        gv = shard_params(mesh, gen_variables, expect_tp=True)
         rv = shard_params(mesh, rec_variables)
         s = style_stack.shape[0]
         sh = replicated(mesh) if s == 1 else batch_sharding(mesh)

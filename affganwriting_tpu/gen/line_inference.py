@@ -98,6 +98,78 @@ def random_styles(library: StyleLibrary, n: int, extra: float = 0.5,
     return np.stack(out)
 
 
+def gaussian_styles(n: int, dim: int, seed: int = 0,
+                    sigma: float = 1.0) -> np.ndarray:
+    """The 'v' REPL action's style source (generate.py:308: "styles are
+    randomly sampled from gaussian distribution (for VAE)") — N(0, sigma)
+    vectors instead of dataset-extracted ones."""
+    return np.random.default_rng(seed).normal(
+        0.0, sigma, size=(n, dim)).astype(np.float32)
+
+
+def _resample_time(onehot: np.ndarray, factor: float,
+                   max_len: int) -> np.ndarray:
+    """Linearly resample a spaced one-hot (B, T, K) along time by
+    ``factor`` (the reference's F.interpolate(..., mode='linear'),
+    generate.py:834), then pad/crop back to the generator's static
+    ``max_len`` so every stretch frame reuses ONE compiled shape."""
+    b, t, k = onehot.shape
+    new_t = max(1, int(round(t * factor)))
+    # sample positions in the source signal for each output position
+    src = np.linspace(0.0, t - 1.0, new_t)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, t - 1)
+    w = (src - lo).astype(np.float32)
+    res = (onehot[:, lo] * (1.0 - w)[None, :, None]
+           + onehot[:, hi] * w[None, :, None])
+    out = np.zeros((b, max_len, k), np.float32)
+    n = min(max_len, new_t)
+    out[:, :n] = res[:, :n]
+    out[:, n:, 0] = 1.0   # trailing positions are blanks
+    return out
+
+
+def stretch_factors(step: float = 0.01) -> list[float]:
+    """The 's' sweep schedule: 1 -> 1.1 -> 0.9 -> 1 (interpolate_horz,
+    generate.py:830-852; its two 'strechV' loops re-generate the unchanged
+    label — a hold, reproduced as repeated 1.1/0.9 frames)."""
+    up = list(np.arange(1.0, 1.1 + step / 2, step))
+    down = list(np.arange(1.1, 0.9 - step / 2, -step))
+    back = list(np.arange(0.9, 1.0 + step / 2, step))
+    return [round(f, 4) for f in up + down + back]
+
+
+def stretch_sweep(trainer, state, batch: dict, step: float = 0.02,
+                  key: Optional[jax.Array] = None) -> np.ndarray:
+    """The 's' (strech) REPL action (generate.py:278-306): extract the
+    batch's style, DTW-align its spaced label, then render a horizontal
+    stretching sweep by 1D-resampling the spaced one-hot before the
+    generator.  Returns (frames, B, H, W, 1)."""
+    key = key if key is not None else jax.random.key(0)
+    image = jnp.asarray(batch["image"])
+    variables = trainer._variables(state)
+    style, _ = trainer.model.apply(
+        variables, image, method=trainer.model.extract_style)
+    spaced = trainer.spaced_label(state, batch)          # (B, T) ids
+    onehot = np.asarray(jax.nn.one_hot(spaced, trainer.n_class), np.float32)
+
+    max_len = trainer.max_gen_length
+    b = onehot.shape[0]
+    label = jnp.zeros((b, 1), jnp.int32)        # unused when spaced given
+    lengths = jnp.ones((b,), jnp.int32)
+    apply = jax.jit(
+        lambda v, sp, st, r: trainer.model.apply(
+            v, label, lengths, st, sp, rngs=r)[0])
+    frames = []
+    # one noise key for the whole sweep: frames differ only by stretch,
+    # which is what the figure is meant to show
+    rngs = {"noise": key}
+    for f in stretch_factors(step):
+        sp = jnp.asarray(_resample_time(onehot, f, max_len))
+        frames.append(np.asarray(apply(variables, sp, style, rngs)))
+    return np.stack(frames)
+
+
 def generate_lines(trainer, state, texts: list[str], styles: np.ndarray,
                    charset, key: Optional[jax.Array] = None) -> np.ndarray:
     """Batched text+style -> line images (the generate.py / app.py path)."""

@@ -117,22 +117,40 @@ def _flatten_path(keypath) -> str:
     return "/".join(parts)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree for a param tree: TP rules + replicate the rest."""
+def param_shardings(mesh: Mesh, params: Any, *,
+                    expect_tp: bool = False) -> Any:
+    """NamedSharding pytree for a param tree: TP rules + replicate the rest.
+
+    With ``expect_tp`` on a mesh whose model axis is >1, at least one leaf
+    must match a TP rule — a regex that silently stops matching param
+    paths would otherwise degrade tensor parallelism to replication with
+    nothing failing.  Leave it off for trees that legitimately replicate
+    (e.g. the recognizer in the serving pipeline)."""
+    matched = [0]
 
     def one(keypath, x):
         spec = _spec_for(_flatten_path(keypath))
         # degenerate shapes (scalars) can't take a multi-axis spec
         if len(spec) > x.ndim:
             spec = P()
+        if spec != P():
+            matched[0] += 1
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(one, params)
+    out = jax.tree_util.tree_map_with_path(one, params)
+    if (expect_tp and dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+            and not matched[0]):
+        raise ValueError(
+            "mesh has a model axis >1 but no param path matched _TP_RULES "
+            "— tensor parallelism would silently degrade to replication "
+            "(param-path regex drift?)")
+    return out
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
+def shard_params(mesh: Mesh, params: Any, *, expect_tp: bool = False) -> Any:
     return jax.tree.map(
-        jax.device_put, params, param_shardings(mesh, params)
+        jax.device_put, params,
+        param_shardings(mesh, params, expect_tp=expect_tp)
     )
 
 
@@ -141,5 +159,8 @@ def shard_state(mesh: Mesh, state: Any) -> Any:
     any leaf whose path matches (params AND the matching optimizer moments
     — ``_spec_for`` searches the path suffix, so ``mu/text_encoder/fc1/
     kernel`` shards like the param it tracks); everything else replicates.
+
+    A whole state always contains the TP-ruled layers when a model axis is
+    in use, so rule coverage is asserted here (see ``param_shardings``).
     """
-    return shard_params(mesh, state)
+    return shard_params(mesh, state, expect_tp=True)

@@ -103,6 +103,30 @@ def ctc_loss(log_probs, labels, label_lengths):
     return jnp.mean(per)
 
 
+def _splice_pretrained_hwr(path: str, hwr_init: Any, model_stats: Any):
+    """Load a ``cli/train_hwr.py`` checkpoint ({"params", "batch_stats"} of
+    the standalone recognizer) into the container's ``hwr`` slot
+    (reference hw_with_style.py:182-194: ``model.pretrained_hwr`` weights
+    loaded into the frozen recognizer).  Shapes must match the init tree —
+    same arch/norm/n_class as the pretrainer."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    hwr_stats_init = (model_stats or {}).get("hwr", {})
+    sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.result_type(x), sharding=sh),
+        {"params": hwr_init, "batch_stats": hwr_stats_init})
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), target)
+    new_stats = dict(model_stats) if model_stats else {}
+    if restored.get("batch_stats"):
+        new_stats["hwr"] = restored["batch_stats"]
+    return restored["params"], new_stats
+
+
 class StyleBank:
     """Last-N styles with interpolated (extrapolated) sampling
     (hw_with_style_trainer.py:113-128, 984-998; 'extra-0.5')."""
@@ -136,7 +160,8 @@ class LineGanTrainer:
                  balance_loss: bool = True, hwr_norm: str = "batch",
                  lr_schedule: str | bool = "none", iterations: int = 240_000,
                  slow_param_names: tuple = (), freeze_param_names: tuple = (),
-                 schedule_kw: Optional[dict] = None, mesh=None):
+                 schedule_kw: Optional[dict] = None, mesh=None,
+                 pretrained_hwr: str | None = None):
         # Multi-chip DP: params replicate over the mesh, every lesson batch
         # shards its leading axis over 'data', GSPMD psums the gradients —
         # the same jit lesson steps serve 1 and N chips (SURVEY.md §5.8)
@@ -151,7 +176,14 @@ class LineGanTrainer:
             lr_schedule=lr_schedule, iterations=iterations,
             slow_param_names=list(slow_param_names),
             freeze_param_names=list(freeze_param_names),
-            schedule_kw=dict(schedule_kw or {}))
+            schedule_kw=dict(schedule_kw or {}),
+            pretrained_hwr=pretrained_hwr)
+        # the reference's pretrained+frozen recognizer (hw_with_style.py:
+        # 182-194, config model.pretrained_hwr + hwr_frozen): a path saved
+        # by cli/train_hwr.py ("hwr_final").  Spliced into the hwr slot at
+        # init_state; checkpoints carry the weights themselves, so resume
+        # never re-reads the path.
+        self.pretrained_hwr = pretrained_hwr
         self.model = HWWithStyle(
             n_class=n_class, style_dim=style_dim,
             max_gen_length=max_gen_length, hwr_norm=hwr_norm)
@@ -194,6 +226,9 @@ class LineGanTrainer:
         model_stats = variables.get("batch_stats", {})
         main = {k: v for k, v in params.items() if k != "hwr"}
         hwr = params["hwr"]
+        if self.pretrained_hwr:
+            hwr, model_stats = _splice_pretrained_hwr(
+                self.pretrained_hwr, hwr, model_stats)
         # rebind the main optimizer now that the param tree exists
         # (schedule + slow/frozen groups; identical to plain Adam when no
         # schedule/patterns were requested)
@@ -627,6 +662,68 @@ class LineGanTrainer:
                 metrics.update(m)   # device scalars; materialized at log time
         return state, metrics
 
+    # ----- periodic training sheets (hw_with_style_trainer.py:1002-1032) --
+    def dump_sheet(self, state: LineState, batch: dict, out_dir: str,
+                   iteration: int) -> str:
+        """Write a [real | spaced-recon | bank-style gen] grid with mean
+        discriminator scores — the reference's ``print_images`` cadence
+        artifact, made human-readable (glyph text strips)."""
+        from affganwriting_tpu.eval.sheets import write_line_sheet
+
+        image = self._put(batch["image"])
+        label = self._put(batch["label"])
+        lengths = self._put(batch["label_lengths"])
+        variables = self._variables(state)
+
+        spaced = self.spaced_label(state, batch)
+        t = self.max_gen_length
+        sp = np.zeros((spaced.shape[0], t), spaced.dtype)
+        sp[:, : min(t, spaced.shape[1])] = spaced[:, :t]
+        spaced_onehot = self._put(jax.nn.one_hot(
+            jnp.asarray(sp), self.n_class))
+
+        if not hasattr(self, "_sheet_jit"):
+            model, disc = self.model, self.disc
+
+            def _sheet(variables, disc_vars, image, label, lengths,
+                       spaced_onehot, style, rng):
+                k1, k2, k3 = jax.random.split(rng, 3)
+                ex_style, _ = model.apply(
+                    variables, image, method=model.extract_style)
+                recon, _, _ = model.apply(
+                    variables, label, lengths, ex_style, spaced_onehot,
+                    rngs={"noise": k1})
+                gen, _, _ = model.apply(
+                    variables, label, lengths, style,
+                    rngs={"noise": k2, "spacing": k3})
+
+                def d_mean(x, w):
+                    heads = disc.apply(disc_vars, x[:, :, :w])
+                    return sum(jnp.mean(h) for h in heads) / len(heads)
+
+                w = jnp.minimum(image.shape[2], recon.shape[2])
+                scores = {"real": d_mean(image, w), "recon": d_mean(recon, w),
+                          "gen": d_mean(gen, gen.shape[2])}
+                return recon, gen, scores
+
+            self._sheet_jit = jax.jit(_sheet)
+
+        style = self.style_bank.sample(image.shape[0])
+        if style is None:
+            style, _ = self.model.apply(
+                variables, image, method=self.model.extract_style)
+            style = np.asarray(style)
+        disc_vars = {"params": state.disc_params,
+                     "batch_stats": state.disc_stats}
+        recon, gen, scores = self._sheet_jit(
+            variables, disc_vars, image, label, lengths, spaced_onehot,
+            self._put(np.asarray(style, np.float32)), jax.random.key(0))
+        texts = batch.get("texts")
+        return write_line_sheet(
+            out_dir, f"iter_{iteration}", np.asarray(image),
+            np.asarray(recon), np.asarray(gen), texts=texts,
+            disc_scores={k: float(v) for k, v in scores.items()})
+
     @classmethod
     def from_config(cls, config: dict, mesh=None, curriculum=None
                     ) -> "LineGanTrainer":
@@ -692,7 +789,9 @@ class LineGanTrainer:
             val_batches_fn=None, val_every: int = 0,
             val_max_batches: int = 4,
             swa_start: int | None = None, swa_state=None,
-            start_iteration: int | None = None) -> LineState:
+            start_iteration: int | None = None,
+            sheet_every: int = 0, sheet_dir: str | None = None
+            ) -> LineState:
         """The full BaseTrainer runtime (base_trainer.py:199-326):
         iteration loop with latest/periodic/best checkpoints, periodic
         validation with monitor-best, SWA weight averaging past
@@ -767,6 +866,10 @@ class LineGanTrainer:
                     # not per iteration (train_iteration dispatches async)
                     logger.log(it, {k: float(v) for k, v in metrics.items()},
                                group="line_train")
+                if sheet_every and sheet_dir and it % sheet_every == 0:
+                    # periodic real|recon|gen grids with disc scores
+                    # (reference print_images cadence)
+                    self.dump_sheet(state, batch, sheet_dir, it)
                 if (val_every and val_batches_fn is not None
                         and it % val_every == 0):
                     val = self.validate(state, val_batches_fn(),

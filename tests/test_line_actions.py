@@ -111,9 +111,40 @@ def test_line_repl_headless_script(tmp_path):
 
     line_repl.main([
         "--out", str(tmp_path),
-        "--script", "a;r;2;hi;A;;q",
+        "--script", "a;r;2;hi;s;0;v;2;hey;A;;q",
     ])
     import os
 
     assert os.path.exists(tmp_path / "interp0.png")
     assert os.path.exists(tmp_path / "average.png")
+    # 's' stretch sweep frames (generate.py:278-306 naming gen{b}_{i})
+    assert os.path.exists(tmp_path / "gen0_0.png")
+    # 'v' gaussian-style interpolation frames
+    assert os.path.exists(tmp_path / "vae0.png")
+    assert os.path.exists(tmp_path / "vae1.png")
+
+
+def test_stretch_schedule_and_resample():
+    """The 's' sweep helpers: schedule covers 1->1.1->0.9->1
+    (interpolate_horz, generate.py:830-852) and time-resampling keeps the
+    static generator length with trailing blanks."""
+    from affganwriting_tpu.gen.line_inference import (
+        _resample_time,
+        stretch_factors,
+    )
+
+    fs = stretch_factors(0.05)
+    assert fs[0] == 1.0 and max(fs) == 1.1 and min(fs) == 0.9
+    assert fs[-1] == 1.0
+
+    onehot = np.zeros((1, 10, 4), np.float32)
+    onehot[0, :, 0] = 1.0
+    onehot[0, 3:6, 0] = 0.0
+    onehot[0, 3:6, 2] = 1.0
+    out = _resample_time(onehot, 1.5, 20)
+    assert out.shape == (1, 20, 4)
+    # stretched char run is ~1.5x longer
+    assert 3 <= out[0, :, 2].sum() <= 6.5
+    # every position is (softly) one-hot; tail is blank
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+    assert out[0, 16:, 0].all()

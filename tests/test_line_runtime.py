@@ -86,9 +86,13 @@ def test_line_fit_checkpoints_validates_and_resumes(tmp_path):
         state, stream(), 4, ckpt=ckpt, save_every=100,
         save_latest_every=2,
         val_batches_fn=lambda: val_ds.batches(1, epoch=0),
-        val_every=2, val_max_batches=1, swa_start=2)
+        val_every=2, val_max_batches=1, swa_start=2,
+        sheet_every=3, sheet_dir=str(tmp_path / "sheets"))
     assert int(state.step) == 4
     assert ckpt.latest_exists()
+    # periodic training sheet dumped (print_images equivalent)
+    assert (os.path.exists(tmp_path / "sheets" / "iter_3.png")
+            or os.path.exists(tmp_path / "sheets" / "iter_3.png.npy"))
     # validation ran and tracked a best
     assert os.path.exists(tmp_path / "ck" / "best.metric.json")
     # SWA engaged at iteration 2
@@ -152,6 +156,43 @@ def test_swap_crash_recovery(tmp_path):
         np.asarray(r2["w"]), np.arange(3, dtype=np.float32) + 1)
     assert not os.path.exists(ck_dir / "latest.new")
     assert not os.path.exists(ck_dir / "latest.old")
+
+
+def test_pretrained_hwr_splices_into_init_state(tmp_path):
+    """--pretrained-hwr loads cli/train_hwr.py's checkpoint into the
+    container's frozen recognizer slot (reference hw_with_style.py:182-194)
+    instead of leaving the GAN against a random-init HWR."""
+    import orbax.checkpoint as ocp
+
+    from affganwriting_tpu.data.lines import LineCharset, LineDataset
+    from affganwriting_tpu.models.line.hwr import CNNOnlyHWR
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+
+    cs = LineCharset()
+    ds = LineDataset(cs, a_batch_size=1, width=128, label_len=8, seed=0)
+    first = next(ds.batches(batch_authors=2))
+
+    # standalone pretrain artifact, exactly train_hwr.py's save layout
+    hwr = CNNOnlyHWR(nclass=cs.n_class, norm="batch")
+    variables = jax.jit(hwr.init)(
+        jax.random.key(7), jnp.asarray(first["image"]))
+    # mark the weights so a splice is distinguishable from a fresh init
+    marked = jax.tree.map(lambda x: x + 1.5, variables["params"])
+    path = str(tmp_path / "hwr_final")
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, {"params": marked,
+                   "batch_stats": variables.get("batch_stats", {})})
+    ck.wait_until_finished()
+
+    tr = LineGanTrainer(n_class=cs.n_class, max_gen_length=32,
+                        pretrained_hwr=path)
+    assert tr.config_dict["pretrained_hwr"] == path  # rides in checkpoints
+    state = tr.init_state(first, jax.random.key(0))
+    got = jax.tree.leaves(state.hwr_params)
+    want = jax.tree.leaves(marked)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
 
 
 def test_validate_zero_batches_has_no_monitor():
