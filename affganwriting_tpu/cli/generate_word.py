@@ -100,14 +100,26 @@ def main(argv=None):
 
         spipe = make_sharded_pipeline(cfg, mesh)
         n_data = mesh.shape[DATA_AXIS]
+        # place weights once globally and the style stack once per writer
+        # (spipe() would re-device_put all of them per 128-word chunk);
+        # re-placing already-placed trees is a no-op, so passing the
+        # cached placed weights back through place() keeps them resident
+        _placed: dict = {}
 
         def run(gen_vars, rec_vars, stack, labels):  # noqa: F811
+            if _placed.get("stack_obj") is not stack:
+                gv, rv, st = spipe.place(
+                    _placed.get("gv", gen_vars),
+                    _placed.get("rv", rec_vars), stack)
+                _placed.update(gv=gv, rv=rv, st=st, stack_obj=stack)
             b = labels.shape[0]
             pad = (-b) % n_data
             if pad:
                 labels = np.concatenate(
                     [labels, np.repeat(labels[:1], pad, axis=0)])
-            imgs, preds = spipe(gen_vars, rec_vars, stack, labels)
+            imgs, preds = spipe.base(
+                _placed["gv"], _placed["rv"], _placed["st"],
+                spipe.shard_labels(labels))
             return imgs[:b], preds[:b]
 
     gen_vars = variables_of(state.gen)

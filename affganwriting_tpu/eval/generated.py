@@ -36,6 +36,12 @@ def cer_of_folder(folder: str) -> dict:
         parsed = parse_generated_name(name)
         if parsed:
             pairs.append(parsed)
+    return cer_of_pairs(pairs)
+
+
+def cer_of_pairs(pairs: list[tuple[str, str]]) -> dict:
+    """CER over (GT, pred) text pairs — the folder protocol's core, reused
+    by the int8-serving CER gate (scripts/ab_int8_cer.py)."""
     if not pairs:
         return {"cer": 0.0, "count": 0}
     max_len = max(max(len(g), len(p)) for g, p in pairs)

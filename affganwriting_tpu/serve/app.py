@@ -82,14 +82,11 @@ def _to_png_bytes(img: np.ndarray) -> bytes:
 
 
 def _maybe_emuru():
-    """Local Emuru snapshot (app.py:152-215) — optional, torch host-side."""
-    path = os.environ.get("EMURU_DIR")
-    if not path or not os.path.isdir(path):
-        return None
+    """Local Emuru snapshot path, or None (serve/emuru.py discovery)."""
     try:
-        from transformers import AutoModel, AutoProcessor  # noqa: F401
+        from affganwriting_tpu.serve.emuru import find_local_snapshot
 
-        return path
+        return find_local_snapshot()
     except Exception:
         return None
 
@@ -133,8 +130,29 @@ def run_streamlit():
             key=jax.random.key(int(seed)))
         for im in imgs:
             st.image(_to_png_bytes(im))
-    if _maybe_emuru():
-        st.caption("Emuru backend available (EMURU_DIR set)")
+    snapshot = _maybe_emuru()
+    if snapshot:
+        # Emuru autoregressive backend (reference app.py:152-215 +
+        # emuru_infer.py): a style image + its transcription + target text
+        # -> generated line, host-side torch over the local snapshot
+        st.header("Emuru backend")
+        st.caption(f"snapshot: {snapshot}")
+        up = st.file_uploader("Style image (a handwriting line)",
+                              type=("png", "jpg", "jpeg"))
+        style_text = st.text_input("Style image transcription", "")
+        gen_text = st.text_input("Emuru text", "The quick brown fox")
+        if st.button("Generate (Emuru)") and up is not None:
+            from PIL import Image
+
+            from affganwriting_tpu.serve.emuru import generate_emuru
+
+            out = generate_emuru(
+                Image.open(up), style_text, gen_text)
+            buf = io.BytesIO()
+            out.save(buf, format="PNG")
+            st.image(buf.getvalue())
+            st.download_button("Download PNG", buf.getvalue(),
+                               file_name="emuru.png")
 
 
 def selftest():
@@ -149,8 +167,21 @@ def selftest():
         trainer, state, ["Hello world"], library.get(author)[None], charset,
         key=jax.random.key(0))
     png = _to_png_bytes(img[0])
+    # Emuru backend: generates with a local snapshot, raises cleanly
+    # (FileNotFoundError) without one — never downloads
+    from affganwriting_tpu.serve import emuru
+
+    if emuru.available():
+        emuru_status = f"available ({emuru.find_local_snapshot()})"
+    else:
+        try:
+            emuru.load_emuru()
+            raise AssertionError("load_emuru must raise without a snapshot")
+        except FileNotFoundError as e:
+            emuru_status = f"absent, raises cleanly ({e})"
     print(f"selftest ok: image {img.shape}, png {len(png)} bytes, "
-          f"{len(library.styles)} styles from {len(library.by_author)} authors")
+          f"{len(library.styles)} styles from {len(library.by_author)} "
+          f"authors; emuru: {emuru_status}")
 
 
 if __name__ == "__main__":
