@@ -58,6 +58,11 @@ class Generator(nn.Module):
     # collection from a quant_mode="calib" forward.
     quant: bool = False
     quant_mode: str = "dynamic"
+    # exact-mode escape hatch (same param tree): Generator(cfg,
+    # subpixel=False) applies trained variables through the reference
+    # upsample+conv path — the fast-vs-exact quality A/B runs on this
+    # (scripts/ab_subpixel_quality.py)
+    subpixel: bool = True
 
     def setup(self):
         cfg = self.config
@@ -79,7 +84,8 @@ class Generator(nn.Module):
             dtype=dtype,
         )
         self.dec = Decoder(dim=cfg.style_dim, dtype=dtype, quant=self.quant,
-                           quant_mode=self.quant_mode)
+                           quant_mode=self.quant_mode,
+                           subpixel_upsample=self.subpixel)
         # mix: concat(style[-1], content) channels -> Dense back to style_dim
         # (GAN_word/modules_tro.py:252-259).  Implemented as a split dense
         # (same kernel layout) so a batch-1 style feature broadcasts against

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from affganwriting_tpu.models.line.char_style import CharStyleEncoder
 from affganwriting_tpu.models.line.count_cnn import CountCNN
-from affganwriting_tpu.models.line.hwr import CNNOnlyHWR, CRNN
+from affganwriting_tpu.models.line.hwr import CNNOnlyHWR, CRNN, SmallCRNN
 from affganwriting_tpu.models.line.spaced_gen import SpacedGenerator
 
 
@@ -73,7 +73,7 @@ class HWWithStyle(nn.Module):
     n_class: int = 80
     style_dim: int = 128
     gen_dim: int = 256
-    hwr_type: str = "cnn_only"     # 'cnn_only' | 'crnn'
+    hwr_type: str = "cnn_only"     # 'cnn_only' | 'crnn' | 'small_crnn'
     hwr_norm: str = "batch"
     max_gen_length: int = 500
     count_std: float = 1e-8
@@ -84,6 +84,9 @@ class HWWithStyle(nn.Module):
         if self.hwr_type == "crnn":
             self.hwr = CRNN(self.n_class, norm=self.hwr_norm,
                             dtype=self.dtype, name="hwr")
+        elif self.hwr_type == "small_crnn":
+            self.hwr = SmallCRNN(self.n_class, norm=self.hwr_norm,
+                                 dtype=self.dtype, name="hwr")
         else:
             self.hwr = CNNOnlyHWR(self.n_class, norm=self.hwr_norm,
                                   dtype=self.dtype, name="hwr")

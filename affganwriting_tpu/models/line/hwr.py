@@ -90,6 +90,70 @@ class CRNN(nn.Module):
         return logits
 
 
+class SmallCRNN(nn.Module):
+    """The h=24 small variant (cnn_lstm.py:117-192): wider early channels
+    (128 from conv0), pooling after convs 1/3/5 (last one (2,2)/(2,1)
+    stride with width padding), a final valid 3x3 conv collapsing height
+    3 -> 1, spatial dropout 0.1 on convs 2-6, inputs width-padded to >=12
+    (:169-171).  T = W/4 - 2."""
+
+    nclass: int = 80
+    hidden: int = 512
+    norm: str = "batch"
+    use_softmax: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if x.shape[2] < 12:
+            diff = 12 - x.shape[2]
+            x = jnp.pad(x, ((0, 0), (0, 0),
+                            (diff // 2, diff - diff // 2), (0, 0)))
+        nm = (128, 128, 256, 256, 512, 512, 512)
+        pads = (1, 1, 1, 1, 1, 1, 0)
+        normed = (1, 2, 4, 6)      # convRelu(i, norm) calls (:150-159)
+        dropped = (2, 3, 4, 5, 6)  # Dropout2d(0.1) flags (:128)
+        for i in range(7):
+            p = pads[i]
+            x = nn.Conv(nm[i], (3, 3), padding=((p, p), (p, p)),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{i}")(x)
+            if i in normed:
+                if self.norm == "group":
+                    x = nn.GroupNorm(num_groups=get_group_size(nm[i]),
+                                     dtype=jnp.float32,
+                                     name=f"norm{i}")(x).astype(self.dtype)
+                else:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, dtype=jnp.float32,
+                                     name=f"norm{i}")(x).astype(self.dtype)
+            if i in dropped:
+                # Dropout2d: whole channels, shared across space
+                x = nn.Dropout(0.1, broadcast_dims=(1, 2),
+                               deterministic=not train,
+                               name=f"drop{i}")(x)
+            x = nn.relu(x)
+            if i == 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif i == 3:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif i == 5:
+                x = nn.max_pool(x, (2, 2), strides=(2, 1),
+                                padding=((0, 0), (1, 1)))
+        b, h, w, c = x.shape
+        seq = (x.reshape(b, h * w, c) if h == 1
+               else x.mean(1)).astype(jnp.float32)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="lstm_fwd")(seq)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="lstm_bwd")(
+            seq, reverse=True, keep_order=True)
+        logits = nn.Dense(self.nclass, param_dtype=jnp.float32,
+                          name="embedding")(
+            jnp.concatenate([fwd, bwd], axis=-1))
+        if self.use_softmax:
+            return nn.log_softmax(logits, axis=-1)
+        return logits
+
+
 class CNNOnlyHWR(nn.Module):
     """Conv trunk + dilated 1D conv stack (cnn_only_hwr.py:7-118), the
     active config's frozen recognizer ('CNNOnly batchnorm')."""

@@ -29,6 +29,29 @@ def test_crnn_and_cnnonly_log_probs():
         np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
 
 
+def test_small_crnn():
+    """SmallCRNN (cnn_lstm.py:117-192): h=24 inputs, T = W/4 - 2, width
+    padded to >=12, spatial dropout active only in train mode."""
+    from affganwriting_tpu.models.line.hwr import SmallCRNN
+
+    img = jnp.asarray(RNG.normal(size=(B, 24, 96, 1)), jnp.float32)
+    m = SmallCRNN(nclass=K, dtype=jnp.float32)
+    v = jax.jit(m.init)(jax.random.key(0), img)
+    out = jax.jit(m.apply)(v, img)
+    # T = W/4 + 1 (padded (2,1) pool) - 2 (valid final conv)
+    assert out.shape == (B, 96 // 4 - 1, K)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.exp(out), axis=-1)), 1.0, rtol=1e-4)
+    # narrow input pads to the 12-column minimum (reference :169-171)
+    tiny = jnp.asarray(RNG.normal(size=(B, 24, 8, 1)), jnp.float32)
+    out2 = jax.jit(m.apply)(v, tiny)
+    assert out2.shape == (B, 2, K)
+    # train mode consumes the dropout rng and stays finite
+    out3, _ = m.apply(v, img, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out3)).all()
+
+
 @pytest.mark.slow
 def test_spaced_generator_shape_and_determinism():
     L = 24

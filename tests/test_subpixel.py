@@ -22,3 +22,31 @@ def test_subpixel_matches_exact_interior():
         y_fast[:, 2:-2, 2:-2], y_exact[:, 2:-2, 2:-2], rtol=2e-4, atol=2e-4)
     # borders: same scale, approximated padding
     assert np.abs(y_fast - y_exact).mean() < 0.1 * np.abs(y_exact).mean() + 0.1
+
+
+def test_generator_exact_mode_shares_param_tree():
+    """Generator(cfg, subpixel=False) applies variables initialized by the
+    fast generator — the escape hatch the fast-vs-exact quality A/B uses
+    (scripts/ab_subpixel_quality.py)."""
+    from affganwriting_tpu.core.config import default_config
+    from affganwriting_tpu.gen.inference import encode_labels
+    from affganwriting_tpu.models.generator import Generator
+
+    cfg = default_config().replace(
+        compute_dtype="float32", style_encoder="cnn",
+        img_height=32, img_width=104, style_dim=64,
+        adain_param_dim=512, text_embed_dim=16, max_chars=6)
+    fast = Generator(cfg, subpixel=True)
+    exact = Generator(cfg, subpixel=False)
+    rng = np.random.default_rng(0)
+    style = jnp.asarray(rng.normal(
+        size=(1, cfg.img_height, cfg.img_width, cfg.style_stack)),
+        jnp.float32)
+    labels = jnp.asarray(encode_labels(["word", "pens"], cfg.output_max_len))
+    v = jax.jit(fast.init)(jax.random.key(0), style, labels)
+    a = np.asarray(jax.jit(fast.apply)(v, style, labels))
+    b = np.asarray(jax.jit(exact.apply)(v, style, labels))
+    assert a.shape == b.shape == (2, cfg.img_height, cfg.img_width, 1)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # same weights, same interior computation: strongly correlated outputs
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.5
