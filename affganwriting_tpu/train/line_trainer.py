@@ -701,7 +701,7 @@ class LineGanTrainer:
                     heads = disc.apply(disc_vars, x[:, :, :w])
                     return sum(jnp.mean(h) for h in heads) / len(heads)
 
-                w = jnp.minimum(image.shape[2], recon.shape[2])
+                w = min(image.shape[2], recon.shape[2])
                 scores = {"real": d_mean(image, w), "recon": d_mean(recon, w),
                           "gen": d_mean(gen, gen.shape[2])}
                 return recon, gen, scores
