@@ -55,6 +55,11 @@ def main(argv=None):
     p.add_argument("--sheet-every", type=int, default=2000,
                    help="periodic real|recon|gen image-sheet cadence "
                         "(reference print_images); 0 disables")
+    p.add_argument("--restart-rss-gb", type=float, default=48.0,
+                   help="host-RSS watchdog: save latest + re-exec (resume) "
+                        "past this RSS — the tunneled runtime leaks every "
+                        "transfer's host mirror (utils/memwatch.py); 0 "
+                        "disables")
     p.add_argument("--pretrained-hwr", default=None,
                    help="path to a cli/train_hwr.py 'hwr_final' checkpoint "
                         "to load (frozen) into the recognizer slot — the "
@@ -140,7 +145,8 @@ def main(argv=None):
         swa_start=args.swa_start, swa_state=swa_state,
         start_iteration=start_iteration,
         sheet_every=args.sheet_every,
-        sheet_dir=f"{args.logdir}/sheets")
+        sheet_dir=f"{args.logdir}/sheets",
+        restart_rss_gb=args.restart_rss_gb)
 
 
 if __name__ == "__main__":

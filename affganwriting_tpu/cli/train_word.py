@@ -44,6 +44,11 @@ def main(argv=None):
                    help="device mesh: 'none' (single chip), 'auto' (all "
                         "chips on 'data'), 'N' (N-way DP) or 'NxM' "
                         "(DP x tensor-parallel)")
+    p.add_argument("--restart-rss-gb", type=float, default=48.0,
+                   help="host-RSS watchdog: save latest + re-exec (resume) "
+                        "past this RSS — the tunneled runtime leaks every "
+                        "transfer's host mirror (utils/memwatch.py); 0 "
+                        "disables")
     args = p.parse_args(argv)
 
     from affganwriting_tpu.core.cache import enable_compile_cache
@@ -125,7 +130,8 @@ def main(argv=None):
     trainer = WordGanTrainer(
         cfg, train_ds, test_ds, logdir=args.logdir, seed=args.seed,
         eval_every=args.eval_every, save_every=args.save_every,
-        patience=args.patience, rec_plateau=args.rec_plateau, mesh=mesh)
+        patience=args.patience, rec_plateau=args.rec_plateau, mesh=mesh,
+        restart_rss_gb=args.restart_rss_gb)
     if trocr_params is not None:
         trainer.state = trainer.state.replace(
             rec=trainer.state.rec.replace(params={"core": trocr_params}))

@@ -790,8 +790,8 @@ class LineGanTrainer:
             val_max_batches: int = 4,
             swa_start: int | None = None, swa_state=None,
             start_iteration: int | None = None,
-            sheet_every: int = 0, sheet_dir: str | None = None
-            ) -> LineState:
+            sheet_every: int = 0, sheet_dir: str | None = None,
+            restart_rss_gb: float = 48.0) -> LineState:
         """The full BaseTrainer runtime (base_trainer.py:199-326):
         iteration loop with latest/periodic/best checkpoints, periodic
         validation with monitor-best, SWA weight averaging past
@@ -898,6 +898,18 @@ class LineGanTrainer:
                     # that is save_every (not save_latest_every) old
                     if it % save_latest_every == 0:
                         _save_latest(state)
+                    if it % 50 == 0:
+                        # re-exec before the runtime's transfer-mirror
+                        # leak OOMs the host; the relaunched CLI resumes
+                        # from 'latest' (utils/memwatch.py)
+                        from affganwriting_tpu.utils.memwatch import (
+                            maybe_restart,
+                        )
+
+                        maybe_restart(
+                            restart_rss_gb,
+                            lambda: _save_latest(state),
+                            label="line-gan")
             _save_latest(state)
         finally:
             signal.signal(signal.SIGINT, prev)

@@ -68,6 +68,7 @@ class WordGanTrainer:
         patience: int = 20,
         rec_plateau: bool = False,
         mesh=None,
+        restart_rss_gb: float = 48.0,
     ):
         self.config = config
         self.train_data = train_data
@@ -78,6 +79,10 @@ class WordGanTrainer:
         self.save_every = save_every
         self.save_latest_every_steps = save_latest_every_steps
         self.early = EarlyStopping(patience)
+        # host-RSS watchdog: the tunneled runtime leaks every transfer's
+        # host mirror (~one batch/step); save+re-exec before the kernel
+        # OOM-kills a long run (utils/memwatch.py).  0 disables.
+        self.restart_rss_gb = restart_rss_gb
         if rec_plateau and not config.rec_frozen:
             from affganwriting_tpu.train.schedules import PlateauScaler
 
@@ -282,6 +287,14 @@ class WordGanTrainer:
                         break
                 if epoch % self.save_every == 0 and epoch > 0:
                     self.ckpt.save_step(self.state, self.config, epoch)
+                # re-exec before the runtime's transfer-mirror leak OOMs
+                # the host; the relaunch resumes from 'latest'
+                from affganwriting_tpu.utils.memwatch import maybe_restart
+
+                maybe_restart(
+                    self.restart_rss_gb,
+                    lambda: self.ckpt.save_latest(self.state, self.config),
+                    label="word-gan")
             self.ckpt.save_latest(self.state, self.config)
         finally:
             signal.signal(signal.SIGINT, prev)

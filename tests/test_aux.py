@@ -89,3 +89,29 @@ def test_htr_trainer_one_epoch():
     state, metrics = trainer.train_epoch(state, iter(batches), epoch=0)
     assert np.isfinite(metrics["loss"])
     assert metrics["teacher_rate"] == 0.5
+
+
+def test_memwatch_restart(monkeypatch):
+    """The RSS watchdog saves and re-execs past the threshold, no-ops
+    below it or when disabled (utils/memwatch.py — mitigation for the
+    runtime's per-transfer host-mirror leak)."""
+    import os
+
+    from affganwriting_tpu.utils import memwatch
+
+    assert memwatch.rss_gb() > 0.01   # this test process uses real memory
+
+    calls = {"save": 0, "exec": 0}
+    monkeypatch.setattr(
+        memwatch.os, "execv",
+        lambda *a: calls.__setitem__("exec", calls["exec"] + 1))
+    save = lambda: calls.__setitem__("save", calls["save"] + 1)  # noqa: E731
+
+    memwatch.maybe_restart(0.0, save)          # disabled
+    memwatch.maybe_restart(10_000.0, save)     # far below threshold
+    assert calls == {"save": 0, "exec": 0}
+
+    monkeypatch.delenv("AFFG_RESTARTS", raising=False)
+    memwatch.maybe_restart(0.001, save, label="test")   # way above
+    assert calls == {"save": 1, "exec": 1}
+    assert os.environ["AFFG_RESTARTS"] == "1"
