@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--logdir", default="runs/hwr")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--save-every", type=int, default=2000,
+                   help="refresh hwr_final every N iterations (a crash "
+                        "then loses at most N iterations); 0 = end only")
     args = p.parse_args(argv)
 
     import jax
@@ -31,6 +34,9 @@ def main(argv=None):
     import numpy as np
     import optax
 
+    from affganwriting_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     from affganwriting_tpu.data.lines import LineCharset, LineDataset
     from affganwriting_tpu.models.line.hwr import CNNOnlyHWR, CRNN
     from affganwriting_tpu.train.line_trainer import ctc_loss
@@ -72,6 +78,25 @@ def main(argv=None):
             yield from ds.batches(args.batch_size, epoch=epoch)
             epoch += 1
 
+    import os
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    path = os.path.abspath(os.path.join(args.logdir, "hwr_final"))
+
+    def save(params, stats):
+        # swap-write: never leave a half-written hwr_final
+        tmp = path + ".new"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ck.save(tmp, {"params": params, "batch_stats": stats})
+        ck.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
     rng = jax.random.key(args.seed)
     it = 0
     for batch in stream():
@@ -85,20 +110,10 @@ def main(argv=None):
         if it % args.log_every == 0:
             logger.log(it, {"ctc": float(loss)}, group="hwr")
         it += 1
+        if args.save_every and it % args.save_every == 0:
+            save(params, stats)
 
-    # save final weights via orbax
-    import orbax.checkpoint as ocp
-
-    ck = ocp.StandardCheckpointer()
-    import os
-
-    path = os.path.abspath(os.path.join(args.logdir, "hwr_final"))
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    ck.save(path, {"params": params, "batch_stats": stats})
-    ck.wait_until_finished()
+    save(params, stats)
     print(f"saved {path}")
 
 
