@@ -103,21 +103,42 @@ class TextData:
 
 
 def synthetic_line_image(text: str, author_seed: int, height: int = 64,
-                         width: int = 512) -> np.ndarray:
-    """Deterministic synthetic line built from word blobs."""
+                         width: int = 512, return_text: bool = False):
+    """Deterministic synthetic line built from word blobs.
+
+    Only words that FULLY fit are drawn, and ``return_text=True`` also
+    returns the text actually rendered: a label describing glyphs the
+    image does not contain is an irreducible CER floor (pre-round-4 this
+    clipped tails silently — the HWR pretrain plateaued at ~35% CER
+    because most 46-char labels outran the 512px canvas)."""
     img = np.full((height, width), -1.0, np.float32)
+    drawn: list[str] = []
     x = 4
     for word in text.split(" "):
         if not word:
             x += 12
             continue
-        wimg = synthetic_word_image(word, author_seed, height, 216)
-        w_used = min(18 * len(word) + 8, 216, width - x)
-        if w_used <= 0:
+        w_need = min(18 * len(word) + 8, 216)
+        if x + w_need > width:
             break
-        img[:, x: x + w_used] = np.maximum(
-            img[:, x: x + w_used], wimg[:, :w_used])
-        x += w_used + 6
+        wimg = synthetic_word_image(word, author_seed, height, 216)
+        img[:, x: x + w_need] = np.maximum(
+            img[:, x: x + w_need], wimg[:, :w_need])
+        drawn.append(word)
+        x += w_need + 6
+    if not drawn and text.strip():
+        # canvas narrower than the first word: draw its visible prefix so
+        # image and label stay consistent even in the degenerate case
+        word = text.split()[0]
+        n = max(1, (width - 12) // 18)
+        word = word[:n]
+        w_need = min(18 * len(word) + 8, 216, width - 4)
+        wimg = synthetic_word_image(word, author_seed, height, 216)
+        img[:, 4: 4 + w_need] = np.maximum(
+            img[:, 4: 4 + w_need], wimg[:, :w_need])
+        drawn = [word]
+    if return_text:
+        return img, " ".join(drawn)
     return img
 
 
@@ -186,23 +207,29 @@ class LineDataset:
         ab = self.a_batch_size
         for start in range(0, len(order) - batch_authors + 1, batch_authors):
             images, labels, lengths, authors = [], [], [], []
+            texts = []
             for ai in order[start: start + batch_authors]:
                 author = self.authors[ai]
                 for _ in range(ab):
                     text = self.text_data.sample(rng)
-                    ids = self.charset.encode(text)[: self.label_len]
-                    img = synthetic_line_image(
-                        text, hash(author) & 0xFFFF, width=self.width)
+                    img, drawn = synthetic_line_image(
+                        text, hash(author) & 0xFFFF, width=self.width,
+                        return_text=True)
+                    # the label is what the image SHOWS (see
+                    # synthetic_line_image: clipped tails were a CER floor)
+                    ids = self.charset.encode(drawn)[: self.label_len]
                     images.append(img)
                     lab = np.zeros((self.label_len,), np.int32)
                     lab[: len(ids)] = ids
                     labels.append(lab)
-                    lengths.append(len(ids))
+                    lengths.append(max(len(ids), 1))
                     authors.append(author)
+                    texts.append(drawn)
             yield {
                 "image": np.stack(images)[..., None].astype(np.float32),
                 "label": np.stack(labels),
                 "label_lengths": np.asarray(lengths, np.int32),
                 "authors": authors,
+                "texts": texts,
                 "a_batch_size": ab,
             }

@@ -221,21 +221,23 @@ class AuthorLineDataset:
                 for ri in pick:
                     rec = recs[int(ri)]
                     img = self._line_image(rec)
+                    text = rec.text
                     if img is None:
                         # form image missing: deterministic synthetic
-                        # fallback (same policy as the word pipeline)
-                        img = synthetic_line_image(
+                        # fallback (same policy as the word pipeline);
+                        # the label must describe the rendered prefix
+                        img, text = synthetic_line_image(
                             rec.text[:40], hash(author) & 0xFFFF,
-                            self.img_height, 512)
-                    entries.append((author, rec, img))
+                            self.img_height, 512, return_text=True)
+                    entries.append((author, text, img))
 
             if self.augment:
                 from affganwriting_tpu.data.line_augment import augment_line
 
                 entries = [
-                    (author, rec,
+                    (author, text,
                      1.0 - 2.0 * augment_line((1.0 - img) / 2.0, rng))
-                    for author, rec, img in entries]
+                    for author, text, img in entries]
 
             widths = [e[2].shape[1] for e in entries]
             bw = bucket_width(max(widths), max_width=self.max_width)
@@ -246,7 +248,7 @@ class AuthorLineDataset:
             if self.with_fg_mask:
                 masks = np.zeros((n, self.img_height, bw, 1), np.float32)
             authors, texts = [], []
-            for i, (author, rec, img) in enumerate(entries):
+            for i, (author, text, img) in enumerate(entries):
                 w = min(img.shape[1], bw)
                 images[i, :, :w, 0] = img[:, :w]
                 if self.with_fg_mask:
@@ -256,11 +258,11 @@ class AuthorLineDataset:
 
                     masks[i, :, :w, 0] = foreground_mask(
                         (1.0 - img[:, :w]) / 2.0)
-                ids = self.charset.encode(rec.text)[: self.label_len]
+                ids = self.charset.encode(text)[: self.label_len]
                 labels[i, : len(ids)] = ids
                 lengths[i] = len(ids)
                 authors.append(author)
-                texts.append(rec.text)
+                texts.append(text)
             out = {
                 "image": images,
                 "label": labels,
