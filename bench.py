@@ -30,6 +30,17 @@ import numpy as np
 
 N_STREAM = 30
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Stage marker on stderr: if the run is killed by an external timeout
+    (e.g. the tunneled runtime stalls — observed outages block even a tiny
+    device_put for minutes), the captured stderr shows exactly which stage
+    was in flight instead of 15 silent minutes."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def _fetch_floor_ms(iters: int = 15) -> float:
     """Median ms to fetch one freshly-computed scalar: the tunnel's
@@ -37,10 +48,13 @@ def _fetch_floor_ms(iters: int = 15) -> float:
     import jax
     import jax.numpy as jnp
 
+    _mark("preflight: first scalar device round-trip (hangs here = the "
+          "TPU tunnel is down, not the framework)")
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.asarray(0.0)
     x = f(x)
     float(np.asarray(x))   # warm the program
+    _mark("preflight ok; measuring fetch floor")
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -278,7 +292,10 @@ def _run_train_step(batch: int, n_stream: int = 10) -> dict:
 def _try(fn, batches):
     for b in batches:
         try:
-            return fn(b), b
+            _mark(f"{fn.__name__} batch {b}: setup+compile+run")
+            out = fn(b)
+            _mark(f"{fn.__name__} batch {b}: done")
+            return out, b
         except Exception as e:  # noqa: BLE001 — transient remote-compile 500s
             print(f"bench {fn.__name__} batch {b} failed: "
                   f"{type(e).__name__}", file=sys.stderr)
@@ -297,6 +314,7 @@ HEADLINE_MODE = "int8"
 def main():
     from affganwriting_tpu.core.cache import enable_compile_cache
 
+    _mark("start: importing jax + enabling compile cache")
     enable_compile_cache()   # compiles aren't timed; repeats skip them
     if "--batch" in sys.argv:
         batches = [int(sys.argv[sys.argv.index("--batch") + 1])]
