@@ -65,6 +65,11 @@ def main(argv=None):
                         "to load (frozen) into the recognizer slot — the "
                         "reference's model.pretrained_hwr + hwr_frozen "
                         "(hw_with_style.py:182-194)")
+    p.add_argument("--pretrained-ae", default=None,
+                   help="path to a cli/train_auto.py 'ae_final' checkpoint "
+                        "to load (frozen) into the perceptual-AE slot — "
+                        "the reference's trainer encoder_weights "
+                        "(hw_with_style_trainer.py:139-149)")
     args = p.parse_args(argv)
 
     import jax
@@ -123,7 +128,8 @@ def main(argv=None):
         trainer = LineGanTrainer(
             n_class=charset.n_class, max_gen_length=args.max_gen_length,
             lr=args.lr, seed=args.seed, iterations=args.iterations,
-            mesh=mesh, pretrained_hwr=args.pretrained_hwr)
+            mesh=mesh, pretrained_hwr=args.pretrained_hwr,
+            pretrained_ae=args.pretrained_ae)
         state = trainer.init_state(first, jax.random.key(args.seed))
     logger = MetricsLogger(args.logdir)
 

@@ -127,6 +127,34 @@ def _splice_pretrained_hwr(path: str, hwr_init: Any, model_stats: Any):
     return restored["params"], new_stats
 
 
+def _splice_pretrained_ae(path: str, ae_init: Any):
+    """Load a ``cli/train_auto.py`` checkpoint ({"params"} of the trained
+    perceptual autoencoder) into the frozen AE slot (reference
+    hw_with_style_trainer.py:139-149: the AutoTrainer snapshot's encoder
+    weights are loaded and frozen; the perceptual distance runs in that
+    trained feature space, :735-758).  The 'newCTC' pretrain carries an
+    extra E_HWR head the GAN never applies — only the param groups present
+    in the plain ``Autoencoder()`` init tree are taken."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    saved = restored["params"]
+    missing = [k for k in ae_init if k not in saved]
+    if missing:
+        raise ValueError(
+            f"pretrained AE at {path} lacks param groups {missing}; "
+            "was it trained with a different --variant?")
+    spliced = {k: saved[k] for k in ae_init}
+    jax.tree.map(
+        lambda i, s: (_ for _ in ()).throw(ValueError(
+            f"pretrained AE shape {jnp.shape(s)} != init {jnp.shape(i)}"))
+        if jnp.shape(i) != jnp.shape(s) else None, ae_init, spliced)
+    return jax.tree.map(
+        lambda i, s: jnp.asarray(s, jnp.result_type(i)), ae_init, spliced)
+
+
 class StyleBank:
     """Last-N styles with interpolated (extrapolated) sampling
     (hw_with_style_trainer.py:113-128, 984-998; 'extra-0.5')."""
@@ -161,7 +189,8 @@ class LineGanTrainer:
                  lr_schedule: str | bool = "none", iterations: int = 240_000,
                  slow_param_names: tuple = (), freeze_param_names: tuple = (),
                  schedule_kw: Optional[dict] = None, mesh=None,
-                 pretrained_hwr: str | None = None):
+                 pretrained_hwr: str | None = None,
+                 pretrained_ae: str | None = None):
         # Multi-chip DP: params replicate over the mesh, every lesson batch
         # shards its leading axis over 'data', GSPMD psums the gradients —
         # the same jit lesson steps serve 1 and N chips (SURVEY.md §5.8)
@@ -177,13 +206,18 @@ class LineGanTrainer:
             slow_param_names=list(slow_param_names),
             freeze_param_names=list(freeze_param_names),
             schedule_kw=dict(schedule_kw or {}),
-            pretrained_hwr=pretrained_hwr)
+            pretrained_hwr=pretrained_hwr,
+            pretrained_ae=pretrained_ae)
         # the reference's pretrained+frozen recognizer (hw_with_style.py:
         # 182-194, config model.pretrained_hwr + hwr_frozen): a path saved
         # by cli/train_hwr.py ("hwr_final").  Spliced into the hwr slot at
         # init_state; checkpoints carry the weights themselves, so resume
         # never re-reads the path.
         self.pretrained_hwr = pretrained_hwr
+        # the reference's pretrained+frozen perceptual AE (trainer
+        # encoder_weights, hw_with_style_trainer.py:139-149): a path saved
+        # by cli/train_auto.py ("ae_final"), spliced at init_state.
+        self.pretrained_ae = pretrained_ae
         self.model = HWWithStyle(
             n_class=n_class, style_dim=style_dim,
             max_gen_length=max_gen_length, hwr_norm=hwr_norm)
@@ -238,6 +272,9 @@ class LineGanTrainer:
         self._build_steps()
         disc_vars = jax.jit(self.disc.init)(k1, img)
         ae_vars = jax.jit(self.ae.init)(k1, img)
+        ae_params = ae_vars["params"]
+        if self.pretrained_ae:
+            ae_params = _splice_pretrained_ae(self.pretrained_ae, ae_params)
         state = LineState(
             step=jnp.zeros((), jnp.int32),
             main_params=main,
@@ -245,7 +282,7 @@ class LineGanTrainer:
             model_stats=model_stats,
             disc_params=disc_vars["params"],
             disc_stats=disc_vars.get("batch_stats", {}),
-            ae_params=ae_vars["params"],
+            ae_params=ae_params,
             main_opt=self.main_opt.init(main),
             disc_opt=self.disc_opt.init(disc_vars["params"]),
         )

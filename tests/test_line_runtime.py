@@ -195,6 +195,49 @@ def test_pretrained_hwr_splices_into_init_state(tmp_path):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
 
 
+def test_pretrained_ae_splices_into_init_state(tmp_path):
+    """--pretrained-ae loads cli/train_auto.py's checkpoint into the frozen
+    perceptual-AE slot (reference hw_with_style_trainer.py:139-149) instead
+    of leaving the perceptual loss in random-feature space.  The pretrain
+    artifact carries the E_HWR CTC head ('newCTC' recipe); the splice must
+    take only the plain Autoencoder subtree."""
+    import orbax.checkpoint as ocp
+
+    from affganwriting_tpu.data.lines import LineCharset, LineDataset
+    from affganwriting_tpu.models.line.autoencoder import Autoencoder
+    from affganwriting_tpu.train.line_trainer import LineGanTrainer
+
+    cs = LineCharset()
+    ds = LineDataset(cs, a_batch_size=1, width=128, label_len=8, seed=0)
+    first = next(ds.batches(batch_authors=2))
+
+    # pretrain artifact with the CTC head, exactly train_auto.py's layout
+    ae = Autoencoder(variant="2tight", hwr_classes=cs.n_class)
+    variables = jax.jit(ae.init)(
+        jax.random.key(7), jnp.asarray(first["image"]))
+    marked = jax.tree.map(lambda x: x + 1.5, variables["params"])
+    path = str(tmp_path / "ae_final")
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, {"params": marked})
+    ck.wait_until_finished()
+
+    tr = LineGanTrainer(n_class=cs.n_class, max_gen_length=32,
+                        pretrained_ae=path)
+    assert tr.config_dict["pretrained_ae"] == path  # rides in checkpoints
+    state = tr.init_state(first, jax.random.key(0))
+    # the GAN's plain-AE tree restored exactly; the head keys dropped
+    plain_keys = set(jax.jit(Autoencoder().init)(
+        jax.random.key(0), jnp.asarray(first["image"]))["params"])
+    assert set(state.ae_params) == plain_keys
+    assert plain_keys < set(marked)   # the artifact really had extra keys
+    for k in plain_keys:
+        got = jax.tree.leaves(state.ae_params[k])
+        want = jax.tree.leaves(marked[k])
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
 def test_validate_zero_batches_has_no_monitor():
     """An empty valid split must not produce val_monitor=0.0 — that would
     be persisted as an unbeatable 'best' metric."""
