@@ -30,10 +30,14 @@ def main(argv=None):
         scorer = FIDScorer()
         ga, gw = load_folder_images(args.generated, args.limit)
         ra, rw = load_folder_images(args.real, args.limit)
+        out["fid_provenance"] = scorer.provenance
+        key = ("fid" if scorer.provenance.startswith("pretrained")
+               else "fid_random_features")
         if args.per_writer:
-            out["wid_fid"] = scorer.fid_per_writer(ga, gw, ra, rw)["wid_fid"]
+            out[f"wid_{key}"] = scorer.fid_per_writer(
+                ga, gw, ra, rw)["wid_fid"]
         else:
-            out["fid"] = scorer.fid(ga, ra)
+            out[key] = scorer.fid(ga, ra)
     print(json.dumps(out))
 
 
