@@ -174,6 +174,110 @@ def main(argv=None):
             "hbm_frac": round(cost["bytes"] / sec / PEAK_HBM, 4),
         }), flush=True)
 
+    if only is not None and "train_phases" in only:
+        # Per-phase roofline of the PHASED train step (VERDICT r4 weak #5:
+        # inference had MFU/HBM accounting, training was one opaque
+        # number).  Times each of the four chained programs — plus the
+        # merged D+G program that shares G's pair forward via vjp — with
+        # the donation-safe feedback loop the trainer itself runs, and
+        # reads XLA's cost model per program.
+        import bench as _bench
+
+        tb = args.train_batch
+        state, step_fn, batch_d = _bench._train_setup(tb)
+        phases = step_fn.phases
+        batch_d = jax.device_put(batch_d)
+        jax.block_until_ready(batch_d)
+        style_t = batch_d["style_imgs"]
+        ch0 = style_t[..., 0:1]
+        rng_rec, rng_gen = jax.random.split(jax.random.key(1))
+
+        # AOT cost analysis first: the timing loops donate buffers, and
+        # lowering never executes, so all of state is still valid here
+        costs = {
+            "rec": _cost(phases["rec"], state.rec, ch0,
+                         batch_d["label_ch0"], rng_rec),
+            "cla": _cost(phases["cla"], state.cla, ch0,
+                         batch_d["writer_ids"]),
+            "dis": _cost(phases["dis"], state.dis, state.gen.params,
+                         state.gen.stats, style_t, batch_d["label_xt"],
+                         batch_d["label_xt_swap"]),
+            "gen": _cost(phases["gen"], state.gen, state.dis.params,
+                         state.cla.params, state.rec.params,
+                         state.rec.stats, batch_d, rng_gen),
+            "dis_gen": _cost(phases["dis_gen"], state.dis, state.gen,
+                             state.cla.params, state.rec.params,
+                             state.rec.stats, batch_d, rng_gen),
+        }
+
+        def time_phase(fn, player, consts):
+            """Donation-safe streaming: feed the returned player back in,
+            exactly the trainer's access pattern."""
+            out = fn(player, *consts)      # warm; donates `player`
+            player = out[0]
+            # a value FETCH, not block_until_ready: on the tunneled
+            # runtime only a fetch proves the warm call (and its remote
+            # compile) actually finished before the clock starts
+            _sync(jax.tree.leaves(player.params)[0])
+            t0 = time.perf_counter()
+            for _ in range(args.n_stream):
+                out = fn(player, *consts)
+                player = out[0]
+            _sync(jax.tree.leaves(player.params)[0])
+            return (time.perf_counter() - t0) / args.n_stream, player
+
+        # each loop's constants come from EARLIER loops' outputs — the
+        # original state.<player> buffers are gone once donated
+        report = {}
+        report["rec"], rec_p = time_phase(
+            phases["rec"], state.rec, (ch0, batch_d["label_ch0"], rng_rec))
+        report["cla"], cla_p = time_phase(
+            phases["cla"], state.cla, (ch0, batch_d["writer_ids"]))
+        report["dis"], dis_p = time_phase(
+            phases["dis"], state.dis,
+            (state.gen.params, state.gen.stats, style_t,
+             batch_d["label_xt"], batch_d["label_xt_swap"]))
+        report["gen"], gen_p = time_phase(
+            phases["gen"], state.gen,
+            (dis_p.params, cla_p.params, rec_p.params, rec_p.stats,
+             batch_d, rng_gen))
+
+        # merged D+G: feed back both donated players
+        fn = phases["dis_gen"]
+        out = fn(dis_p, gen_p, cla_p.params, rec_p.params, rec_p.stats,
+                 batch_d, rng_gen)
+        dis_p, gen_p = out[0], out[1]
+        _sync(jax.tree.leaves(gen_p.params)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.n_stream):
+            out = fn(dis_p, gen_p, cla_p.params, rec_p.params, rec_p.stats,
+                     batch_d, rng_gen)
+            dis_p, gen_p = out[0], out[1]
+        _sync(jax.tree.leaves(gen_p.params)[0])
+        report["dis_gen"] = (time.perf_counter() - t0) / args.n_stream
+
+        for name, sec in report.items():
+            cost = costs[name]
+            print(json.dumps({
+                "stage": f"train_phase/{name}",
+                "batch": tb,
+                "ms_per_call": round(1000 * sec, 3),
+                "gflops_per_call": round(cost["flops"] / 1e9, 2),
+                "achieved_tflops": round(cost["flops"] / sec / 1e12, 2),
+                "mfu": round(cost["flops"] / sec / PEAK_FLOPS, 4),
+                "gbytes_per_call": round(cost["bytes"] / 1e9, 3),
+                "hbm_frac": round(cost["bytes"] / sec / PEAK_HBM, 4),
+            }), flush=True)
+        four = report["rec"] + report["cla"] + report["dis"] + report["gen"]
+        three = report["rec"] + report["cla"] + report["dis_gen"]
+        print(json.dumps({
+            "stage": "train_phase/TOTAL",
+            "batch": tb,
+            "four_program_ms": round(1000 * four, 3),
+            "merged_dg_ms": round(1000 * three, 3),
+            "merged_speedup": round(four / three, 3),
+        }), flush=True)
+
     for name, (fn, a, bb, denom) in stages.items():
         if only and name not in only:
             continue

@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=100)
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--no-merge-dg", dest="merge_dg", action="store_false",
+                   default=True,
+                   help="run the D and G phases as separate programs "
+                        "instead of the fused vjp-shared default "
+                        "(train/step.py merge_dg)")
     p.add_argument("--rec-plateau", action="store_true",
                    help="ReduceLROnPlateau on R's lr (main_run.py:279)")
     p.add_argument("--max-writers", type=int, default=None,
@@ -106,6 +111,7 @@ def main(argv=None):
         trocr_preset=trocr_preset,
         trocr_map_vec=trocr_map_vec,
         trocr_valid_mask=trocr_valid_mask,
+        merge_dg=args.merge_dg,
     )
     paths = default_reference_paths()
     tr = parse_groundtruth(paths["train_gt"])

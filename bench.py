@@ -228,9 +228,10 @@ def _train_setup(batch):
 
     cfg = default_config().replace(batch_size=batch)
     state = init_state(cfg, jax.random.key(0))
-    # the trainer's actual step: four chained programs (19x the monolith's
-    # rate on TPU, train/step.py:make_phased_train_step)
-    step = make_phased_train_step(cfg)
+    # the trainer's actual step: chained programs, D+G fused by default
+    # (19x the monolith's rate on TPU + 1.09x from merge_dg,
+    # train/step.py:make_phased_train_step)
+    step = make_phased_train_step(cfg, merge_dg=cfg.merge_dg)
 
     rng = np.random.default_rng(0)
     lab = lambda w: VOCAB.pad_label(w, cfg.output_max_len)  # noqa: E731
