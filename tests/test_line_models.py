@@ -210,3 +210,21 @@ def test_auto_trainer_ctc_regularized():
              "label_lengths": np.asarray([3, 2], np.int32)}
     state = tr.train(state, iter([batch, batch]), iterations=2)
     assert int(state["step"]) == 2
+
+
+def test_char_style_vgg_backbone_strip():
+    """VGG19Backbone1D (reference char_style_vgg.py:1-67): 1-channel line
+    image -> width strip at the adapter dim, finite under train and eval."""
+    from affganwriting_tpu.models.line.char_style_vgg import VGG19Backbone1D
+
+    m = VGG19Backbone1D(out_dim=32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 128, 1)), jnp.float32)
+    variables = jax.jit(m.init)(jax.random.key(0), x)
+    out = m.apply(variables, x)
+    assert out.ndim == 3 and out.shape[0] == 2 and out.shape[2] == 32
+    assert out.shape[1] > 1          # a real width sequence
+    assert np.isfinite(np.asarray(out)).all()
+    out_tr, _ = m.apply(variables, x, train=True,
+                        mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out_tr)).all()

@@ -42,7 +42,8 @@ def test_backbone_pyramid_contract(name):
 def test_registry_contents():
     names = available()
     for expected in ("resnet50", "resnet18", "cnn", "vgg19",
-                     "dinov2_s", "dinov2_b", "dinov2_l", "inception_v3",
+                     "dinov2_s", "dinov2_b", "dinov2_l", "dinov2_g",
+                     "inception_v3",
                      "efficientnet_v2_l"):
         assert expected in names
 
