@@ -19,6 +19,14 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="cf_<name>.json recipe (core/line_config.py: the "
+                        "reference's `python train.py -c config.json` "
+                        "surface); its model/trainer/optimizer keys "
+                        "override the flag defaults")
+    p.add_argument("-a", dest="overrides", action="append", default=[],
+                   metavar="KEY.PATH=VALUE",
+                   help="dotted-path config override (generate.py:116-138)")
     p.add_argument("--iterations", type=int, default=240_000)
     p.add_argument("--batch-authors", type=int, default=2)
     p.add_argument("--a-batch-size", type=int, default=2)
@@ -65,12 +73,36 @@ def main(argv=None):
                         "to load (frozen) into the recognizer slot — the "
                         "reference's model.pretrained_hwr + hwr_frozen "
                         "(hw_with_style.py:182-194)")
+    p.add_argument("--char-style-dim", type=int, default=0,
+                   help="per-character private style size; > 0 selects the "
+                        "multi-style extractor (char_style.py:210-310)")
     p.add_argument("--pretrained-ae", default=None,
                    help="path to a cli/train_auto.py 'ae_final' checkpoint "
                         "to load (frozen) into the perceptual-AE slot — "
                         "the reference's trainer encoder_weights "
                         "(hw_with_style_trainer.py:139-149)")
     args = p.parse_args(argv)
+
+    if args.config:
+        from affganwriting_tpu.core.line_config import load_config
+
+        cf = load_config(args.config, args.overrides)
+        m = cf.get("model", {})
+        t = cf.get("trainer", {})
+        d = cf.get("data_loader", {})
+        args.char_style_dim = m.get("char_style_dim", args.char_style_dim)
+        args.max_gen_length = m.get("max_gen_length", args.max_gen_length)
+        args.pretrained_hwr = m.get("pretrained_hwr", args.pretrained_hwr)
+        args.iterations = t.get("iterations", args.iterations)
+        args.swa_start = t.get("swa_start", args.swa_start)
+        args.val_every = t.get("val_step", args.val_every)
+        args.save_every = t.get("save_step", args.save_every)
+        args.save_latest_every = t.get(
+            "save_step_minor", args.save_latest_every)
+        args.pretrained_ae = t.get("encoder_weights", args.pretrained_ae)
+        args.lr = cf.get("optimizer", {}).get("lr", args.lr)
+        args.batch_authors = d.get("batch_size", args.batch_authors)
+        args.a_batch_size = d.get("a_batch_size", args.a_batch_size)
 
     import jax
 
@@ -129,7 +161,8 @@ def main(argv=None):
             n_class=charset.n_class, max_gen_length=args.max_gen_length,
             lr=args.lr, seed=args.seed, iterations=args.iterations,
             mesh=mesh, pretrained_hwr=args.pretrained_hwr,
-            pretrained_ae=args.pretrained_ae)
+            pretrained_ae=args.pretrained_ae,
+            char_style_dim=args.char_style_dim)
         state = trainer.init_state(first, jax.random.key(args.seed))
     logger = MetricsLogger(args.logdir)
 

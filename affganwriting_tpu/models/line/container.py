@@ -78,6 +78,13 @@ class HWWithStyle(nn.Module):
     max_gen_length: int = 500
     count_std: float = 1e-8
     dup_std: float = 1e-9
+    # char_style_dim > 0 selects the multi-style extractor (reference
+    # char_style.py:210-310): per-class private styles + fill_pred.  The
+    # style the container hands around stays ONE array — (g_style,
+    # spacing_style, char_style) packed along the feature axis — so the
+    # trainer's style bank / interpolation / checkpoint plumbing is
+    # unchanged; unpacking happens where the parts are consumed.
+    char_style_dim: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -90,13 +97,37 @@ class HWWithStyle(nn.Module):
         else:
             self.hwr = CNNOnlyHWR(self.n_class, norm=self.hwr_norm,
                                   dtype=self.dtype, name="hwr")
-        self.style_extractor = CharStyleEncoder(
-            n_class=self.n_class, style_dim=self.style_dim,
-            dtype=self.dtype, name="style_extractor")
+        if self.char_style_dim > 0:
+            from affganwriting_tpu.models.line.char_style_multi import (
+                MultiCharStyleEncoder,
+            )
+
+            self.style_extractor = MultiCharStyleEncoder(
+                n_class=self.n_class, style_dim=self.style_dim,
+                char_style_dim=self.char_style_dim,
+                dtype=self.dtype, name="style_extractor")
+        else:
+            self.style_extractor = CharStyleEncoder(
+                n_class=self.n_class, style_dim=self.style_dim,
+                dtype=self.dtype, name="style_extractor")
         self.spacer = CountCNN(self.n_class, self.style_dim, name="spacer")
         self.generator = SpacedGenerator(
             self.n_class, self.style_dim, self.gen_dim,
+            char_style_dim=self.char_style_dim,
             dtype=self.dtype, name="generator")
+
+    def _pack_style(self, g, spacing, char):
+        b = g.shape[0]
+        return jnp.concatenate(
+            [g, spacing, char.reshape(b, -1)], axis=-1)
+
+    def _unpack_style(self, style):
+        d = self.char_style_dim
+        g = style[:, : self.style_dim]
+        spacing = style[:, self.style_dim: self.style_dim + d]
+        char = style[:, self.style_dim + d:].reshape(
+            style.shape[0], self.n_class, d)
+        return g, spacing, char
 
     def init_all(self, image, label, label_lengths, *, train: bool = False):
         """Touches every submodule — use as the ``method=`` for ``init`` so
@@ -123,14 +154,20 @@ class HWWithStyle(nn.Module):
             pred_cat = jnp.concatenate(
                 [pred_cat[:, i] for i in range(a_batch_size)], axis=1)
             style = self.style_extractor(img_cat, pred_cat, train=train)
+            if self.char_style_dim > 0:
+                style = self._pack_style(*style)
             style = jnp.repeat(style, a_batch_size, axis=0)
         else:
             style = self.style_extractor(image, pred, train=train)
+            if self.char_style_dim > 0:
+                style = self._pack_style(*style)
         return style, pred
 
     def space(self, label, label_lengths, style, *, train: bool = False):
         onehot = jax.nn.one_hot(label, self.n_class)
-        counts = self.spacer(onehot, style, train=train)
+        g = (style if self.char_style_dim == 0
+             else self._unpack_style(style)[0])
+        counts = self.spacer(onehot, g, train=train)
         key = self.make_rng("spacing")
         spaced, padded = insert_spaces(
             label, label_lengths, counts, key, self.n_class,
@@ -144,7 +181,16 @@ class HWWithStyle(nn.Module):
         if spaced is None:
             spaced, counts, _ = self.space(
                 label, label_lengths, style, train=train)
-        img = self.generator(spaced, style)
+        if self.char_style_dim > 0:
+            from affganwriting_tpu.models.line.char_style_multi import (
+                space_style,
+            )
+
+            g, spacing, char = self._unpack_style(style)
+            pos = space_style(spaced, char, spacing)
+            img = self.generator(spaced, g, pos)
+        else:
+            img = self.generator(spaced, style)
         return img, spaced, counts
 
     def generate(self, label, label_lengths, style, *, train: bool = False):

@@ -216,12 +216,21 @@ class SpacedGenerator(nn.Module):
     output_dim: int = 1
     n_style_trans: int = 6
     append_style: bool = True   # active config gen_append_style
+    # per-position character-style channels appended to the content when
+    # > 0 (the char_style_dim path).  The reference's own generator never
+    # wires its per-position styles (hw_with_style.py:357-377 space_style
+    # is dead code and pure_gen's style_emb cannot take the tuple); this
+    # uses the same input-concat slot its append_style mechanism uses.
+    char_style_dim: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, spaced, style):
+    def __call__(self, spaced, style, pos_style=None):
         """spaced: (B, L, n_class) one-hot content (batch-major; the torch
-        code is (T, B, cls)); style: (B, style_size) -> (B, 64, 4L, 1)."""
+        code is (T, B, cls)); style: (B, style_size) -> (B, 64, 4L, 1).
+        ``pos_style`` (B, L, char_style_dim): per-position character styles
+        (models/line/char_style_multi.py:space_style), required iff
+        char_style_dim > 0."""
         b, length, _ = spaced.shape
 
         s = PixelNorm(name="pixel_norm")(style)
@@ -231,6 +240,10 @@ class SpacedGenerator(nn.Module):
             s = nn.leaky_relu(s, 0.2)
 
         content = spaced[:, None, :, :]             # (B, 1, L, cls)
+        if self.char_style_dim > 0:
+            content = jnp.concatenate(
+                [content, pos_style[:, None, :, :].astype(content.dtype)],
+                axis=-1)
         if self.append_style:
             app = jnp.broadcast_to(
                 s[:, None, None, :], (b, 1, length, self.style_size))

@@ -190,7 +190,8 @@ class LineGanTrainer:
                  slow_param_names: tuple = (), freeze_param_names: tuple = (),
                  schedule_kw: Optional[dict] = None, mesh=None,
                  pretrained_hwr: str | None = None,
-                 pretrained_ae: str | None = None):
+                 pretrained_ae: str | None = None,
+                 char_style_dim: int = 0):
         # Multi-chip DP: params replicate over the mesh, every lesson batch
         # shards its leading axis over 'data', GSPMD psums the gradients —
         # the same jit lesson steps serve 1 and N chips (SURVEY.md §5.8)
@@ -207,7 +208,8 @@ class LineGanTrainer:
             freeze_param_names=list(freeze_param_names),
             schedule_kw=dict(schedule_kw or {}),
             pretrained_hwr=pretrained_hwr,
-            pretrained_ae=pretrained_ae)
+            pretrained_ae=pretrained_ae,
+            char_style_dim=char_style_dim)
         # the reference's pretrained+frozen recognizer (hw_with_style.py:
         # 182-194, config model.pretrained_hwr + hwr_frozen): a path saved
         # by cli/train_hwr.py ("hwr_final").  Spliced into the hwr slot at
@@ -220,7 +222,8 @@ class LineGanTrainer:
         self.pretrained_ae = pretrained_ae
         self.model = HWWithStyle(
             n_class=n_class, style_dim=style_dim,
-            max_gen_length=max_gen_length, hwr_norm=hwr_norm)
+            max_gen_length=max_gen_length, hwr_norm=hwr_norm,
+            char_style_dim=char_style_dim)
         self.disc = DiscriminatorAP(dim=64, use_low=True, use_med=True)
         self.ae = Autoencoder()
         self.curriculum = curriculum or Curriculum()
@@ -415,7 +418,9 @@ class LineGanTrainer:
             onehot = jax.nn.one_hot(label, n_class)
             counts = model.apply(
                 variables, onehot, style,
-                method=lambda m, o, s: m.spacer(o, s, train=True),
+                method=lambda m, o, s: m.spacer(
+                    o, s if m.char_style_dim == 0
+                    else m._unpack_style(s)[0], train=True),
                 rngs={"dropout": rng})
             mask = (jnp.arange(label.shape[1])[None, :]
                     < lengths[:, None]).astype(jnp.float32)

@@ -228,3 +228,40 @@ def test_char_style_vgg_backbone_strip():
     out_tr, _ = m.apply(variables, x, train=True,
                         mutable=["batch_stats"])
     assert np.isfinite(np.asarray(out_tr)).all()
+
+
+def test_deskew_removes_slant():
+    """deskew (normalize_line.py:9-64): a sheared stroke pattern comes back
+    more vertical — the post-deskew vertical projection profile is peakier
+    (higher variance) than the slanted input's."""
+    from affganwriting_tpu.data.normalize_line import deskew
+
+    h, w = 48, 160
+    img = np.full((h, w), 255.0, np.float32)
+    for x0 in range(16, 144, 16):          # slanted "strokes"
+        for y in range(4, 44):
+            x = int(x0 + 0.35 * y)
+            img[y, x - 1: x + 2] = 0.0
+    out = deskew(img)
+    assert out.shape == img.shape
+
+    def profile_var(a):
+        return float(np.var((255.0 - a).sum(axis=0)))
+
+    assert profile_var(out) > profile_var(img) * 1.2
+
+
+def test_skeletonize_normalizes_stroke_width():
+    """skeletonize (normalize_line.py:66-84): thick ink comes back thinner
+    but connected, re-inked on white."""
+    from affganwriting_tpu.data.normalize_line import skeletonize
+
+    img = np.full((32, 64), 255.0, np.float32)
+    img[10:20, 8:56] = 0.0                  # a 10px-thick bar
+    out = skeletonize(img)
+    assert out.shape == img.shape
+    ink_in = (img < 128).sum()
+    ink_out = (out < 128).sum()
+    assert 0 < ink_out < ink_in             # thinner, not erased
+    # the skeleton row survives along the bar's length
+    assert (out[14:16, 10:54] < 200).any()

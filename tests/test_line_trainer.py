@@ -77,3 +77,42 @@ def test_one_iteration_of_each_lesson():
     for key in ("count", "auto", "auto_perceptual", "auto_gen_adv",
                 "gen_adv", "gen_ctc", "disc"):
         assert key in all_metrics, key
+
+
+@pytest.mark.slow
+def test_lessons_with_char_style_multi():
+    """char_style_dim > 0 selects the multi-style extractor
+    (char_style.py:210-310); the packed (g, spacing, per-class) style
+    flows through every lesson — spacer on the g part, the generator on
+    g + space_style per-position char styles."""
+    cs = LineCharset()
+    ds = LineDataset(cs, a_batch_size=2, width=256, label_len=24, seed=0)
+    trainer = LineGanTrainer(
+        n_class=cs.n_class, max_gen_length=64, seed=0, char_style_dim=8)
+    assert trainer.config_dict["char_style_dim"] == 8  # rides checkpoints
+    batches = ds.batches(batch_authors=1, epoch=0)
+    first = next(batches)
+    state = trainer.init_state(first, jax.random.key(0))
+
+    # the packed style is g + spacing + K*D wide
+    import jax.numpy as jnp
+    v = {"params": {**state.main_params, "hwr": state.hwr_params}}
+    if state.model_stats:
+        v["batch_stats"] = state.model_stats
+    style, _ = trainer.model.apply(
+        v, jnp.asarray(first["image"]), method=trainer.model.extract_style)
+    assert style.shape[-1] == 128 + 8 + cs.n_class * 8
+
+    def batch_stream():
+        yield first
+        yield from ds.batches(batch_authors=1, epoch=1)
+
+    stream = batch_stream()
+    all_metrics = {}
+    for it in range(7):
+        state, metrics = trainer.train_iteration(state, it, next(stream))
+        for k, v2 in metrics.items():
+            assert np.isfinite(v2), (it, k, v2)
+        all_metrics.update(metrics)
+    for key in ("count", "auto", "gen_adv", "gen_ctc", "disc"):
+        assert key in all_metrics, key
