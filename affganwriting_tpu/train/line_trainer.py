@@ -231,9 +231,13 @@ class LineGanTrainer:
         self.balance_loss = balance_loss
         # iteration-scheduled per-slot balance multipliers; active config
         # value from cf_IAMslant_...sMG.json: {"0": [0.6, 0.5, 0.4, 0.75]}
-        # — slot 0 multiplies the auto-gen adversarial grads, slot 1 the
-        # genRecog CTC grads (stash order, hw_with_style_trainer.py:288-293)
+        # — indexed by saved_grads stash order within a curriculum cycle
+        # (hw_with_style_trainer.py:310-346, 378-386): slot 0 the no-step
+        # gen lesson's recog-CTC grads, slot 1 its adversarial grads,
+        # slot 2 the auto lesson's recon-adv (autoGen) grads
         self.balance_var_x: dict[int, tuple] = {0: (0.6, 0.5, 0.4, 0.75)}
+        # deferred no-step gen gradients awaiting the next auto step
+        self._saved_grads: tuple | None = None
         self.n_class = n_class
         self.max_gen_length = max_gen_length
         # main optimizer: schedule family + name-based slow/frozen groups
@@ -454,12 +458,25 @@ class LineGanTrainer:
 
         @jax.jit
         def auto_gen_step(state: LineState, image, label, lengths,
-                          spaced_onehot, rng, adv_mult, fg_mask):
+                          spaced_onehot, rng, mults, saved_ctc, saved_adv,
+                          fg_mask):
             """'auto-gen' lesson: the reference additionally runs the
             adversarial G loss on the *reconstruction* (fake = recon,
             hw_with_style_trainer.py:792, 818-831), its gradients balanced
             into the recon gradients as the scheduled autoGen slot
-            (:288-293, 309-386)."""
+            (:288-293, 309-386).
+
+            This is also where the preceding ``no-step gen`` lesson's
+            deferred gradients land: the reference saves that lesson's
+            recog-CTC and adversarial gradients into ``saved_grads``
+            (:310-346) and applies every saved slot — rescaled per leaf
+            against the base gradient, multiplier indexed by save order
+            (:378-386) — at the next stepping lesson's optimizer step.
+            Slot order per cycle is [genRecog, genAdv, autoGen], so
+            ``balance_var_x`` = (0.6, 0.5, 0.4, ...) maps 0.6 to the gen
+            lesson's CTC, 0.5 to its hinge-G, 0.4 to the recon-adv slot.
+            ``saved_ctc``/``saved_adv`` are zeros (a balance_combine
+            no-op) when no gen lesson is pending."""
 
             def recon_loss_fn(main_params):
                 loss, (l1, perc, style, _) = recon_losses(
@@ -479,7 +496,9 @@ class LineGanTrainer:
             (loss, (l1, perc, style)), g_base = jax.value_and_grad(
                 recon_loss_fn, has_aux=True)(state.main_params)
             l_adv, g_adv = jax.value_and_grad(adv_loss_fn)(state.main_params)
-            grads = balance_combine(g_base, [(g_adv, adv_mult)])
+            grads = balance_combine(g_base, [(saved_ctc, mults[0]),
+                                             (saved_adv, mults[1]),
+                                             (g_adv, mults[2])])
             grads = jax.tree.map(lambda g: jnp.clip(g, -2.0, 2.0), grads)
             upd, new_opt = main_opt.update(
                 grads, state.main_opt, state.main_params)
@@ -510,35 +529,36 @@ class LineGanTrainer:
 
         balance = self.balance_loss
 
+        def gen_adv_loss(main_params, state, label, lengths, style, rng):
+            img, _, _ = gen_forward(
+                main_params, state, label, lengths, style, rng)
+            heads = disc.apply(
+                {"params": state.disc_params,
+                 "batch_stats": state.disc_stats}, img)
+            return sum(hinge_g(h) for h in heads) / len(heads), img
+
+        def gen_ctc_loss(main_params, state, label, lengths, style, rng):
+            img, _, _ = gen_forward(
+                main_params, state, label, lengths, style, rng)
+            variables = {"params": {**main_params,
+                                    "hwr": state.hwr_params}}
+            if state.model_stats:
+                variables["batch_stats"] = state.model_stats
+            logp = model.apply(variables, img, method=model.recognize)
+            return ctc_loss(logp, label, lengths)
+
         @jax.jit
         def gen_step(state: LineState, label, lengths, style, rng,
                      ctc_mult):
-            """Hinge G + CTC genRecog, per-parameter gradient balancing
-            with the iteration-scheduled recog multiplier
-            (hw_with_style_trainer.py:309-386; balance_var_x)."""
-            def adv_loss(main_params):
-                img, _, _ = gen_forward(
-                    main_params, state, label, lengths, style,
-                    rng)
-                heads = disc.apply(
-                    {"params": state.disc_params,
-                     "batch_stats": state.disc_stats}, img)
-                return sum(hinge_g(h) for h in heads) / len(heads), img
-
-            def ctc_of(main_params):
-                img, _, _ = gen_forward(
-                    main_params, state, label, lengths, style,
-                    rng)
-                variables = {"params": {**main_params,
-                                        "hwr": state.hwr_params}}
-                if state.model_stats:
-                    variables["batch_stats"] = state.model_stats
-                logp = model.apply(variables, img, method=model.recognize)
-                return ctc_loss(logp, label, lengths)
-
+            """Standalone (stepping) gen lesson: hinge G + CTC genRecog,
+            the recog gradient balanced into the adversarial base as
+            saved slot 0 (hw_with_style_trainer.py:309-386;
+            balance_var_x[0])."""
             (l_adv, img), g_adv = jax.value_and_grad(
-                adv_loss, has_aux=True)(state.main_params)
-            l_ctc, g_ctc = jax.value_and_grad(ctc_of)(state.main_params)
+                gen_adv_loss, has_aux=True)(
+                    state.main_params, state, label, lengths, style, rng)
+            l_ctc, g_ctc = jax.value_and_grad(gen_ctc_loss)(
+                state.main_params, state, label, lengths, style, rng)
 
             if balance:
                 grads = balance_combine(g_adv, [(g_ctc, ctc_mult)])
@@ -553,6 +573,24 @@ class LineGanTrainer:
             return state.replace(
                 step=state.step + 1, main_params=new_main,
                 main_opt=new_opt), {"gen_adv": l_adv, "gen_ctc": l_ctc}, img
+
+        @jax.jit
+        def gen_grads_step(state: LineState, label, lengths, style, rng):
+            """'no-step' gen lesson: compute the bank-style hinge-G and
+            genRecog-CTC losses and *defer* their gradients.  The
+            reference never discards these — ``loss.backward()`` plus the
+            no-step branch stash them in ``saved_grads``
+            (hw_with_style_trainer.py:310-346), and they are applied,
+            rescaled per slot, at the next auto lesson's optimizer step
+            (:378-386).  Returned as (metrics, g_ctc, g_adv, img); the
+            host carries the two gradient pytrees to the next
+            ``auto_gen_step`` call."""
+            (l_adv, img), g_adv = jax.value_and_grad(
+                gen_adv_loss, has_aux=True)(
+                    state.main_params, state, label, lengths, style, rng)
+            l_ctc, g_ctc = jax.value_and_grad(gen_ctc_loss)(
+                state.main_params, state, label, lengths, style, rng)
+            return {"gen_adv": l_adv, "gen_ctc": l_ctc}, g_ctc, g_adv, img
 
         @jax.jit
         def disc_step(state: LineState, real, label, lengths, style, rng):
@@ -604,6 +642,7 @@ class LineGanTrainer:
         self.auto_gen_step = auto_gen_step
         self.count_step = count_step
         self.gen_step = gen_step
+        self.gen_grads_step = gen_grads_step
         self.disc_step = disc_step
         self.valid_step = valid_step
 
@@ -633,6 +672,17 @@ class LineGanTrainer:
                 else:  # misalignment; skip
                     x += 1
         return out
+
+    def _take_saved_grads(self, state: LineState):
+        """Consume the pending no-step-gen gradient pair; zeros (a
+        balance_combine no-op — zero-mean R slots are skipped) when none
+        are pending, e.g. the first cycle after a resume or a curriculum
+        without gen lessons."""
+        saved, self._saved_grads = self._saved_grads, None
+        if saved is None:
+            z = jax.tree.map(jnp.zeros_like, state.main_params)
+            return z, z
+        return saved
 
     def _mults(self, iteration: int) -> tuple:
         """Active balance multipliers: last balance_var_x entry whose
@@ -672,9 +722,11 @@ class LineGanTrainer:
             fg = (self._put(fg) if fg is not None
                   else jnp.ones_like(image, jnp.float32))
             if "auto-gen" in lesson:
+                saved_ctc, saved_adv = self._take_saved_grads(state)
                 state, m, style = self.auto_gen_step(
                     state, image, label, lengths, spaced_onehot, key,
-                    jnp.asarray(self._mults(iteration)[0], jnp.float32), fg)
+                    jnp.asarray(self._mults(iteration)[:3], jnp.float32),
+                    saved_ctc, saved_adv, fg)
             else:
                 state, m, style = self.auto_step(
                     state, image, label, lengths, spaced_onehot, key, fg)
@@ -690,13 +742,17 @@ class LineGanTrainer:
                 self.style_bank.add(style)
             style = self._put(style)
             if "gen" in lesson:
-                new_state, m, _ = self.gen_step(
-                    state, label, lengths, style, key,
-                    jnp.asarray(self._mults(iteration)[1], jnp.float32))
-                # 'no-step' lessons evaluate the gen losses without applying
-                # the update (curriculum token, hw_with_style_trainer.py)
-                if "no-step" not in lesson:
-                    state = new_state
+                if "no-step" in lesson:
+                    # defer: the reference stashes this lesson's recog +
+                    # adversarial gradients (saved_grads, trainer:310-346)
+                    # and applies them at the next auto step
+                    m, g_ctc, g_adv, _ = self.gen_grads_step(
+                        state, label, lengths, style, key)
+                    self._saved_grads = (g_ctc, g_adv)
+                else:
+                    state, m, _ = self.gen_step(
+                        state, label, lengths, style, key,
+                        jnp.asarray(self._mults(iteration)[0], jnp.float32))
                 metrics.update(m)   # device scalars; materialized at log time
             if "disc" in lesson:
                 state, m = self.disc_step(

@@ -79,6 +79,44 @@ def test_one_iteration_of_each_lesson():
         assert key in all_metrics, key
 
 
+def test_no_step_gen_grads_deferred_into_auto_step():
+    """The no-step gen lesson's gradients are NOT discarded: the reference
+    stashes them in saved_grads (hw_with_style_trainer.py:310-346) and
+    applies them — per-slot rescaled by balance_var_x — at the next auto
+    lesson's optimizer step (:378-386).  Dropping them (the pre-r5
+    behavior) starves G of every bank-style adversarial/CTC gradient,
+    because the active curriculum only ever runs gen as ['no-step','gen']."""
+    cs = LineCharset()
+    ds = LineDataset(cs, a_batch_size=2, width=256, label_len=24, seed=0)
+    trainer = LineGanTrainer(n_class=cs.n_class, max_gen_length=64, seed=0)
+    first = next(ds.batches(batch_authors=1, epoch=0))
+    state = trainer.init_state(first, jax.random.key(0))
+
+    # iteration 1 of the default rotation is ['no-step', 'gen']
+    assert trainer.curriculum.get_lesson(1) == ["no-step", "gen"]
+    state1, m = trainer.train_iteration(state, 1, first)
+    assert "gen_adv" in m and "gen_ctc" in m
+    assert trainer._saved_grads is not None
+    # no-step: the lesson itself applies no main-param update
+    assert all(np.array_equal(a, b) for a, b in zip(
+        jax.tree.leaves(state.main_params),
+        jax.tree.leaves(state1.main_params)))
+
+    # iteration 2 ['auto', 'auto-gen'] consumes the stash
+    rng_before = trainer.rng
+    state_with, _ = trainer.train_iteration(state1, 2, first)
+    assert trainer._saved_grads is None
+
+    # replay the identical auto step with the stash cleared: the saved
+    # slots really contribute to the applied update
+    trainer.rng = rng_before
+    trainer._saved_grads = None
+    state_wo, _ = trainer.train_iteration(state1, 2, first)
+    assert any(not np.allclose(a, b) for a, b in zip(
+        jax.tree.leaves(state_with.main_params),
+        jax.tree.leaves(state_wo.main_params)))
+
+
 @pytest.mark.slow
 def test_lessons_with_char_style_multi():
     """char_style_dim > 0 selects the multi-style extractor
